@@ -1,0 +1,87 @@
+"""Evaluation: causal-LM perplexity and greedy/sampled generation.
+
+The reference has no end-to-end model-quality test (SURVEY.md §4 gap);
+perplexity here is the acceptance metric of BASELINE.md (ppl delta <= 0.1
+vs the reference pipeline at the same bit-width).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleekit_tpu.models.transformer import (
+    TransformerConfig,
+    decode_step,
+    forward,
+    init_kv_cache,
+    prefill,
+)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _nll_step(cfg: TransformerConfig, params, tokens):
+    """Sum of next-token negative log-likelihoods and token count for one
+    (B, T) batch; first position has no target."""
+    logits = forward(cfg, params, tokens)
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    targets = tokens[:, 1:]
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll), nll.size
+
+
+def perplexity(cfg: TransformerConfig, params,
+               batches: Iterable[jnp.ndarray]) -> float:
+    """Corpus perplexity over (B, T) token batches (stride = window)."""
+    total, count = 0.0, 0
+    for tokens in batches:
+        s, c = _nll_step(cfg, params, jnp.asarray(tokens))
+        total += float(s)
+        count += int(c)
+    return float(np.exp(total / max(count, 1)))
+
+
+def chunk_tokens(token_stream: np.ndarray, seq_len: int,
+                 batch_size: int = 1) -> Iterable[np.ndarray]:
+    """Split a flat token array into (batch, seq_len) eval windows."""
+    n = (len(token_stream) // seq_len) * seq_len
+    windows = token_stream[:n].reshape(-1, seq_len)
+    for i in range(0, len(windows), batch_size):
+        yield windows[i:i + batch_size].astype(np.int32)
+
+
+def generate(cfg: TransformerConfig, params, prompt: jnp.ndarray,
+             max_new_tokens: int, temperature: float = 0.0,
+             key: Optional[jax.Array] = None,
+             max_len: Optional[int] = None) -> jnp.ndarray:
+    """Autoregressive generation with a KV cache.
+
+    prompt: (B, T) int32. Greedy when temperature == 0, else sampled.
+    Returns (B, T + max_new_tokens).
+    """
+    b, t = prompt.shape
+    max_len = max_len or (t + max_new_tokens)
+    cache = init_kv_cache(cfg, b, max_len)
+
+    prefill_jit = jax.jit(prefill, static_argnums=(0,))
+    decode_jit = jax.jit(decode_step, static_argnums=(0,))
+
+    logits, cache = prefill_jit(cfg, params, prompt, cache)
+    last = logits[:, -1, :]
+    out = [prompt]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    for i in range(max_new_tokens):
+        if temperature > 0:
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, last / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(last, axis=-1)
+        nxt = nxt.astype(jnp.int32)[:, None]
+        out.append(nxt)
+        last, cache = decode_jit(cfg, params, nxt, cache, jnp.int32(t + i))
+    return jnp.concatenate(out, axis=1)

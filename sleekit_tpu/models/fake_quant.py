@@ -1,0 +1,51 @@
+"""Fast fake-quantized model construction for benches and compile checks.
+
+Replaces every linear with a :class:`PackedLinear` holding random codebook
+indices + unit-ish scales - the serving-side memory layout and kernels are
+exactly those of a really-quantized model, without paying for the GPTQ
+solve (which benches separately).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleekit_tpu.codebooks import UniformCodebook
+from sleekit_tpu.models.transformer import (
+    TransformerConfig,
+    get_linear_param,
+    init_params,
+    layer_names,
+    set_linear_param,
+)
+from sleekit_tpu.ops.pack import PackedLinear, bits_for_codebook, pack_indices
+
+
+def random_packed_linear(key, in_features: int, out_features: int,
+                         codebook) -> PackedLinear:
+    nbits = bits_for_codebook(len(codebook))
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.randint(k1, (in_features, out_features), 0, len(codebook))
+    packed = pack_indices(idx, nbits)
+    scale = 0.02 * (1.0 + 0.1 * jax.random.uniform(k2, (out_features,)))
+    return PackedLinear(
+        packed=packed, scale=scale.astype(jnp.float32),
+        lut=jnp.asarray(codebook.values, jnp.float32), bias=None,
+        in_features=in_features, out_features=out_features, nbits=nbits)
+
+
+def random_packed_params(cfg: TransformerConfig, key,
+                         codebook=None):
+    """Dense random params with every linear swapped for a random packed
+    one. Returns (params, codebook)."""
+    codebook = codebook or UniformCodebook(16, -1.0, 1.0)
+    params = init_params(cfg, key)
+    for name in layer_names(cfg):
+        p = get_linear_param(params, name)
+        kern = p["kernel"]
+        key, sub = jax.random.split(key)
+        set_linear_param(params, name, random_packed_linear(
+            sub, kern.shape[0], kern.shape[1], codebook))
+    return params, codebook

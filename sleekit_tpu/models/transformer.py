@@ -1,0 +1,470 @@
+"""Generic decoder-only transformer, pure functional JAX.
+
+The reference never runs a model forward (it consumes pre-dumped per-layer
+statistics; SURVEY.md §5.7) - this module supplies the calibration harness
+and serving forward the reference outsources to the external GPTQ repo
+(ref README.md:183), covering the OPT / BLOOM / Llama families through one
+configurable implementation:
+
+  * params are plain nested dicts of jnp arrays - a quantized model simply
+    replaces a linear's ``{'kernel', 'bias'}`` leaf with a
+    :class:`~sleekit_tpu.ops.pack.PackedLinear`, and every forward works
+    unchanged through :func:`apply_linear`;
+  * positional schemes: learned embeddings (OPT, incl. the +2 offset),
+    ALiBi (BLOOM), rotary (Llama) with GQA;
+  * calibration runs as ONE jitted on-device program per batch:
+    :func:`calibrate_step` threads the per-linear ``LayerStats`` pytree
+    through the forward, updating mean/Hessian inline - no host transfer
+    of activations (TPU-native replacement for torch forward hooks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleekit_tpu.hessian import LayerStats, init_stats, update_stats
+from sleekit_tpu.ops.pack import PackedLinear
+from sleekit_tpu.ops.dequant_matmul import quantized_matmul
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 50272
+    d_model: int = 768
+    n_layers: int = 12
+    n_heads: int = 12
+    n_kv_heads: Optional[int] = None      # GQA; None -> n_heads
+    d_ff: int = 3072
+    max_seq_len: int = 2048
+    activation: str = "relu"              # relu | gelu | silu_glu (SwiGLU)
+    norm: str = "layernorm"               # layernorm | rmsnorm
+    positional: str = "learned"           # learned | alibi | rope
+    pre_norm: bool = True                 # pre-LN (OPT-125M) vs post-LN (OPT-350M)
+    learned_pos_offset: int = 2           # OPT offsets positions by 2
+    embed_ln: bool = False                # BLOOM: layernorm after embedding
+    final_ln: bool = True
+    tie_embeddings: bool = True
+    embed_dim: Optional[int] = None       # OPT-350M word_embed_proj_dim
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads or self.n_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+# ---- parameter initialization -------------------------------------------
+
+
+def _init_linear(key, d_in, d_out, dtype, bias=True, scale=0.02):
+    kk, _ = jax.random.split(key)
+    p = {"kernel": (jax.random.normal(kk, (d_in, d_out)) * scale).astype(dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_params(cfg: TransformerConfig, key) -> Dict[str, Any]:
+    keys = jax.random.split(key, cfg.n_layers + 4)
+    dtype = cfg.dtype
+    d = cfg.d_model
+    ed = cfg.embed_dim or d
+    use_bias = cfg.norm == "layernorm"  # llama-style models drop biases
+
+    def norm_p():
+        p = {"scale": jnp.ones((d,), dtype)}
+        if cfg.norm == "layernorm":
+            p["bias"] = jnp.zeros((d,), dtype)
+        return p
+
+    params: Dict[str, Any] = {
+        "embed": {"tokens": (jax.random.normal(keys[0], (cfg.vocab_size, ed))
+                             * 0.02).astype(dtype)},
+    }
+    if cfg.positional == "learned":
+        params["embed"]["pos"] = (jax.random.normal(
+            keys[1], (cfg.max_seq_len + cfg.learned_pos_offset, d)) * 0.02
+        ).astype(dtype)
+    if cfg.embed_ln:
+        params["embed"]["ln"] = norm_p()
+    if ed != d:
+        params["embed"]["project_in"] = _init_linear(keys[2], ed, d, dtype, bias=False)
+        params["embed"]["project_out"] = _init_linear(keys[3], d, ed, dtype, bias=False)
+
+    kv_dim = cfg.kv_heads * cfg.head_dim
+    layers: List[Dict[str, Any]] = []
+    for i in range(cfg.n_layers):
+        lk = jax.random.split(keys[4 + i], 8)
+        layer = {
+            "ln1": norm_p(),
+            "ln2": norm_p(),
+            "attn": {
+                "q": _init_linear(lk[0], d, d, dtype, bias=use_bias),
+                "k": _init_linear(lk[1], d, kv_dim, dtype, bias=use_bias),
+                "v": _init_linear(lk[2], d, kv_dim, dtype, bias=use_bias),
+                "o": _init_linear(lk[3], d, d, dtype, bias=use_bias),
+            },
+        }
+        if cfg.activation == "silu_glu":
+            layer["mlp"] = {
+                "gate": _init_linear(lk[4], d, cfg.d_ff, dtype, bias=False),
+                "up": _init_linear(lk[5], d, cfg.d_ff, dtype, bias=False),
+                "down": _init_linear(lk[6], cfg.d_ff, d, dtype, bias=False),
+            }
+        else:
+            layer["mlp"] = {
+                "fc1": _init_linear(lk[4], d, cfg.d_ff, dtype, bias=use_bias),
+                "fc2": _init_linear(lk[5], cfg.d_ff, d, dtype, bias=use_bias),
+            }
+        layers.append(layer)
+    params["layers"] = layers
+    if cfg.final_ln:
+        params["final_ln"] = norm_p()
+    if not cfg.tie_embeddings:
+        params["lm_head"] = _init_linear(keys[-1], ed, cfg.vocab_size, dtype,
+                                         bias=False)
+    return params
+
+
+# ---- primitive ops ------------------------------------------------------
+
+
+def apply_linear(p, x: jnp.ndarray, stats: Optional[LayerStats] = None):
+    """Linear layer dispatch: dense dict, or PackedLinear (quantized).
+
+    When ``stats`` is given, folds the (flattened) input into the running
+    Hessian statistics and returns (y, new_stats) - the on-device
+    equivalent of the reference's forward hooks (ref statistics.py:76-87).
+    """
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    if stats is not None:
+        stats = update_stats(stats, x2)
+    if isinstance(p, PackedLinear):
+        y2 = quantized_matmul(x2, p)
+    else:
+        y2 = jnp.dot(x2, p["kernel"], preferred_element_type=jnp.float32)
+        y2 = y2.astype(x.dtype)
+        if "bias" in p:
+            y2 = y2 + p["bias"]
+    y = y2.reshape(*shape[:-1], y2.shape[-1])
+    if stats is not None:
+        return y, stats
+    return y
+
+
+def apply_norm(cfg: TransformerConfig, p, x: jnp.ndarray) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    if cfg.norm == "rmsnorm":
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + cfg.norm_eps)
+        return (y * p["scale"]).astype(x.dtype)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + cfg.norm_eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _activation(cfg: TransformerConfig, x):
+    if cfg.activation == "relu":
+        return jax.nn.relu(x)
+    if cfg.activation == "gelu":
+        return jax.nn.gelu(x)
+    raise ValueError(cfg.activation)
+
+
+def alibi_slopes(n_heads: int) -> np.ndarray:
+    """BLOOM ALiBi head slopes (public formula from the ALiBi paper)."""
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        return np.asarray(pow2_slopes(n_heads), np.float32)
+    closest = 2 ** math.floor(math.log2(n_heads))
+    slopes = pow2_slopes(closest)
+    extra = pow2_slopes(2 * closest)[0::2][: n_heads - closest]
+    return np.asarray(slopes + extra, np.float32)
+
+
+def rope_freqs(cfg: TransformerConfig, positions: jnp.ndarray):
+    """Rotary embedding cos/sin tables for the given positions (B?, T)."""
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (..., hd/2)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, T, H, hd); cos/sin: (T, hd/2) or (B, T, hd/2)."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    if cos.ndim == 2:
+        cos = cos[None, :, None, :]
+        sin = sin[None, :, None, :]
+    else:
+        cos = cos[:, :, None, :]
+        sin = sin[:, :, None, :]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+# ---- attention ----------------------------------------------------------
+
+
+def _attention(cfg: TransformerConfig, q, k, v, bias):
+    """q: (B, T, H, hd); k, v: (B, S, KV, hd); bias: (1|B, H, T, S)."""
+    kv = cfg.kv_heads
+    groups = cfg.n_heads // kv
+    if groups > 1:
+        k = jnp.repeat(k, groups, axis=2)
+        v = jnp.repeat(v, groups, axis=2)
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    logits = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def _causal_bias(cfg: TransformerConfig, q_pos: jnp.ndarray, k_pos: jnp.ndarray):
+    """(1|B, H, T, S) additive bias: causal mask (+ ALiBi if configured)."""
+    mask = q_pos[..., :, None] >= k_pos[..., None, :]   # (..., T, S)
+    neg = jnp.float32(-1e9)
+    bias = jnp.where(mask, 0.0, neg)
+    if bias.ndim == 2:
+        bias = bias[None, None]
+    else:
+        bias = bias[:, None]
+    if cfg.positional == "alibi":
+        slopes = jnp.asarray(alibi_slopes(cfg.n_heads))  # (H,)
+        dist = (k_pos[..., None, :] - q_pos[..., :, None]).astype(jnp.float32)
+        if dist.ndim == 2:
+            dist = dist[None, None]
+        else:
+            dist = dist[:, None]
+        # ALiBi adds slope * key_position-style linear bias on allowed keys
+        bias = bias + slopes[None, :, None, None] * dist
+    return bias
+
+
+# ---- block + model forward ----------------------------------------------
+
+# Linear-layer names inside one block, in calibration order.
+def block_linear_names(cfg: TransformerConfig) -> List[str]:
+    if cfg.activation == "silu_glu":
+        return ["q", "k", "v", "o", "gate", "up", "down"]
+    return ["q", "k", "v", "o", "fc1", "fc2"]
+
+
+def layer_names(cfg: TransformerConfig) -> List[str]:
+    """Flat dotted names of every quantizable linear in the model."""
+    names = []
+    for i in range(cfg.n_layers):
+        for ln in block_linear_names(cfg):
+            names.append(f"layers.{i}.{ln}")
+    return names
+
+
+def _linear_param(params, name: str):
+    i, ln = name.split(".")[1:]
+    layer = params["layers"][int(i)]
+    return layer["attn"][ln] if ln in ("q", "k", "v", "o") else layer["mlp"][ln]
+
+
+def set_linear_param(params, name: str, value) -> None:
+    """In-place update of one linear's params (params is a plain dict)."""
+    i, ln = name.split(".")[1:]
+    layer = params["layers"][int(i)]
+    if ln in ("q", "k", "v", "o"):
+        layer["attn"][ln] = value
+    else:
+        layer["mlp"][ln] = value
+
+
+def get_linear_param(params, name: str):
+    return _linear_param(params, name)
+
+
+def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
+    """One transformer block. ``kv_write`` is None for full-sequence
+    forward, or (cache_k, cache_v, write_pos) for cached decode.
+    Returns (x, new kv pair or None, stats)."""
+
+    def lin(name, p, h):
+        nonlocal stats
+        key = f"layers.{layer_idx}.{name}"
+        if stats is not None and key in stats:
+            y, new = apply_linear(p, h, stats[key])
+            stats = dict(stats)
+            stats[key] = new
+            return y
+        return apply_linear(p, h)
+
+    b, t, d = x.shape
+    h_attn_in = apply_norm(cfg, layer["ln1"], x) if cfg.pre_norm else x
+    q = lin("q", layer["attn"]["q"], h_attn_in)
+    k = lin("k", layer["attn"]["k"], h_attn_in)
+    v = lin("v", layer["attn"]["v"], h_attn_in)
+    q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
+    k = k.reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    v = v.reshape(b, t, cfg.kv_heads, cfg.head_dim)
+
+    if cfg.positional == "rope":
+        cos, sin = rope_freqs(cfg, positions)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    if kv_write is None:
+        bias = _causal_bias(cfg, positions, positions)
+        attn = _attention(cfg, q, k, v, bias)
+    else:
+        cache_k, cache_v, write_pos = kv_write
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, write_pos, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, write_pos, 0, 0))
+        s = cache_k.shape[1]
+        k_pos = jnp.arange(s)
+        valid = k_pos[None, :] <= positions[:, -1:]  # (B, S)
+        bias = _causal_bias(cfg, positions, jnp.broadcast_to(k_pos, (b, s)))
+        bias = jnp.where(valid[:, None, None, :], bias, -1e9)
+        attn = _attention(cfg, q, cache_k, cache_v, bias)
+        kv_write = (cache_k, cache_v)
+
+    attn = attn.reshape(b, t, d)
+    attn = lin("o", layer["attn"]["o"], attn)
+    x = x + attn
+    if not cfg.pre_norm:
+        x = apply_norm(cfg, layer["ln1"], x)
+
+    h = apply_norm(cfg, layer["ln2"], x) if cfg.pre_norm else x
+    if cfg.activation == "silu_glu":
+        gate = lin("gate", layer["mlp"]["gate"], h)
+        up = lin("up", layer["mlp"]["up"], h)
+        h = jax.nn.silu(gate) * up
+        h = lin("down", layer["mlp"]["down"], h)
+    else:
+        h = lin("fc1", layer["mlp"]["fc1"], h)
+        h = _activation(cfg, h)
+        h = lin("fc2", layer["mlp"]["fc2"], h)
+    x = x + h
+    if not cfg.pre_norm:
+        x = apply_norm(cfg, layer["ln2"], x)
+    return x, kv_write, stats
+
+
+def _embed(cfg, params, tokens, positions):
+    emb = params["embed"]
+    x = jnp.take(emb["tokens"], tokens, axis=0)
+    if "project_in" in emb:
+        x = apply_linear(emb["project_in"], x)
+    if cfg.positional == "learned":
+        x = x + jnp.take(emb["pos"], positions + cfg.learned_pos_offset, axis=0)
+    if cfg.embed_ln:
+        x = apply_norm(cfg, emb["ln"], x)
+    return x
+
+
+def _unembed(cfg, params, x):
+    if cfg.final_ln:
+        x = apply_norm(cfg, params["final_ln"], x)
+    if "project_out" in params["embed"]:
+        x = apply_linear(params["embed"]["project_out"], x)
+    if cfg.tie_embeddings:
+        logits = jnp.dot(x, params["embed"]["tokens"].T,
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = apply_linear(params["lm_head"], x).astype(jnp.float32)
+    return logits
+
+
+def forward(cfg: TransformerConfig, params, tokens: jnp.ndarray,
+            stats: Optional[Dict[str, LayerStats]] = None):
+    """Full-sequence causal forward. tokens: (B, T) int32 -> logits
+    (B, T, V). With ``stats``, also returns the updated stats pytree."""
+    b, t = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    x = _embed(cfg, params, tokens, positions)
+    for i, layer in enumerate(params["layers"]):
+        x, _, stats = _block(cfg, layer, x, positions, None, stats, i)
+    logits = _unembed(cfg, params, x)
+    if stats is not None:
+        return logits, stats
+    return logits
+
+
+def init_calibration_stats(cfg: TransformerConfig) -> Dict[str, LayerStats]:
+    """Fresh LayerStats for every quantizable linear."""
+    kv_dim = cfg.kv_heads * cfg.head_dim
+    dims = {"q": cfg.d_model, "k": cfg.d_model, "v": cfg.d_model,
+            "o": cfg.d_model, "fc1": cfg.d_model, "fc2": cfg.d_ff,
+            "gate": cfg.d_model, "up": cfg.d_model, "down": cfg.d_ff}
+    out = {}
+    for name in layer_names(cfg):
+        short = name.split(".")[-1]
+        out[name] = init_stats(dims[short])
+    return out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def calibrate_step(cfg: TransformerConfig, params, tokens,
+                   stats: Dict[str, LayerStats]):
+    """One fused on-device calibration step: forward + all Hessian updates."""
+    _, stats = forward(cfg, params, tokens, stats)
+    return stats
+
+
+# ---- KV-cache decode ----------------------------------------------------
+
+
+def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
+                  dtype=jnp.float32):
+    shape = (batch, max_len, cfg.kv_heads, cfg.head_dim)
+    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(cfg.n_layers)]
+
+
+def decode_step(cfg: TransformerConfig, params, tokens: jnp.ndarray,
+                cache, pos: jnp.ndarray):
+    """One token of cached decode.
+
+    tokens: (B, 1) int32; pos: scalar int32 current position (same for the
+    whole batch - the continuous-batching engine handles ragged sequences
+    at the slot level). Returns (logits (B, V), new cache).
+    """
+    b = tokens.shape[0]
+    positions = jnp.broadcast_to(pos, (b, 1))
+    x = _embed(cfg, params, tokens, positions)
+    new_cache = []
+    for i, layer in enumerate(params["layers"]):
+        kv = (cache[i]["k"], cache[i]["v"], pos)
+        x, kv_out, _ = _block(cfg, layer, x, positions, kv, None, i)
+        new_cache.append({"k": kv_out[0], "v": kv_out[1]})
+    logits = _unembed(cfg, params, x)
+    return logits[:, 0, :], new_cache
+
+
+def prefill(cfg: TransformerConfig, params, tokens: jnp.ndarray, cache):
+    """Process a full prompt, filling the KV cache from position 0.
+    Returns (logits (B, T, V), cache)."""
+    b, t = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    x = _embed(cfg, params, tokens, positions)
+    new_cache = []
+    for i, layer in enumerate(params["layers"]):
+        kv = (cache[i]["k"], cache[i]["v"], 0)
+        x, kv_out, _ = _block(cfg, layer, x, positions, kv, None, i)
+        new_cache.append({"k": kv_out[0], "v": kv_out[1]})
+    return _unembed(cfg, params, x), new_cache

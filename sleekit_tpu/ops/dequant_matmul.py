@@ -1,0 +1,167 @@
+"""Fused dequantize(codebook) + matmul kernels.
+
+The serving hot path: ``y = x @ (lut[unpack(W_packed)] * scale) + bias``
+with the packed sub-byte weights streamed straight from HBM and expanded
+in VMEM, so HBM traffic is ~nbits/16 of a bf16 dense matmul - weight-only
+quantized decode is HBM-bandwidth-bound, which is exactly where this wins
+(BASELINE.json north star; no reference analogue exists, SURVEY.md §7.8).
+
+Two implementations with identical semantics:
+  * :func:`dequant_matmul_xla` - pure-jnp unpack + dense dot; runs on any
+    backend, the correctness oracle;
+  * :func:`dequant_matmul_pallas` - Pallas TPU kernel: grid over
+    (N tiles, K tiles), K innermost accumulating into the output tile;
+    per step the packed (BKW, BN) int32 block is shift/mask-expanded to
+    (BK, BN) indices and dequantized either with the closed-form affine
+    map (uniform codebooks) or a static select-chain LUT (<=16 entries,
+    e.g. NF4), then fed to the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sleekit_tpu.ops.pack import PackedLinear, unpack_indices, vals_per_word
+
+
+def _affine_params(lut: np.ndarray):
+    """If the LUT is an affine grid (uniform codebook), return (step, zero)."""
+    if lut.size < 2:
+        return None
+    diffs = np.diff(lut)
+    step = float(diffs[0])
+    if np.allclose(diffs, step, rtol=1e-5, atol=1e-7):
+        return step, float(lut[0])
+    return None
+
+
+def dequant_matmul_xla(x: jnp.ndarray, w: PackedLinear) -> jnp.ndarray:
+    """Correctness-oracle implementation on plain XLA ops."""
+    idx = unpack_indices(w.packed, w.nbits, w.in_features)
+    deq = jnp.take(w.lut, idx) * w.scale[None, :]
+    y = jnp.dot(x.astype(jnp.float32), deq, preferred_element_type=jnp.float32)
+    if w.bias is not None:
+        y = y + w.bias[None, :]
+    return y.astype(x.dtype)
+
+
+def _kernel(x_ref, w_ref, scale_ref, lut_ref, o_ref, *,
+            nbits, vpw, bkw, ksize, affine, out_dtype):
+    k_step = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    words = w_ref[:]  # (BKW, BN) int32 bit patterns
+    bn = words.shape[1]
+    bk = bkw * vpw
+    mask = jnp.int32((1 << nbits) - 1)
+    # Expand sub-elements: word row g holds K rows g*vpw + j, bits j*nbits.
+    # Logical shifts keep this correct when the sign bit carries payload.
+    sub = [lax.shift_right_logical(words, jnp.int32(nbits * j)) & mask
+           for j in range(vpw)]
+    idx = jnp.stack(sub, axis=1).reshape(bk, bn)
+    if affine is not None:
+        step, zero = affine
+        wvals = idx.astype(jnp.float32) * step + zero
+    else:
+        wvals = jnp.zeros((bk, bn), jnp.float32)
+        for j in range(ksize):
+            wvals = jnp.where(idx == j, lut_ref[0, j], wvals)
+
+    x = x_ref[:]
+    acc = jnp.dot(x.astype(jnp.float32), wvals,
+                  preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+    @pl.when(k_step == nk - 1)
+    def _():
+        o_ref[:] = o_ref[:] * scale_ref[0, :][None, :]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nbits", "vpw", "in_features", "affine", "block_n", "interpret"))
+def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
+                 affine, block_n, interpret):
+    m, k = x.shape
+    kw, n = packed.shape
+    ksize = lut.shape[0]
+
+    bkw = min(32, kw)
+    bk = bkw * vpw
+    bn = min(block_n, _round_up(n, 128))
+    m_pad = _round_up(max(m, 8), 8)
+    kw_pad = _round_up(kw, bkw)
+    k_pad = kw_pad * vpw
+    n_pad = _round_up(n, bn)
+
+    x_p = jnp.zeros((m_pad, k_pad), jnp.float32)
+    x_p = lax.dynamic_update_slice(x_p, x.astype(jnp.float32), (0, 0))
+    packed_p = jnp.pad(packed, ((0, kw_pad - kw), (0, n_pad - n)))
+    scale_p = jnp.pad(scale, (0, n_pad - n)).reshape(1, n_pad)
+    lut_p = lut.reshape(1, ksize)
+
+    grid = (n_pad // bn, kw_pad // bkw)
+    kernel = functools.partial(
+        _kernel, nbits=nbits, vpw=vpw, bkw=bkw, ksize=ksize,
+        affine=affine, out_dtype=x.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, bk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkw, bn), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ksize), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_pad, bn), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+        interpret=interpret,
+    )(x_p, packed_p, scale_p, lut_p)
+    return out[:m, :n]
+
+
+def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
+                          block_n: int = 512,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Fused Pallas TPU kernel. ``interpret=True`` runs the same kernel on
+    CPU for tests."""
+    affine = _affine_params(np.asarray(w.lut))
+    y = _pallas_impl(
+        x, w.packed, w.scale, w.lut,
+        nbits=w.nbits, vpw=w.vpw, in_features=w.in_features,
+        affine=affine, block_n=block_n, interpret=interpret)
+    if w.bias is not None:
+        y = y + w.bias[None, :]
+    return y.astype(x.dtype)
+
+
+def quantized_matmul(x: jnp.ndarray, w: PackedLinear,
+                     use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """y = x @ deq(w) + bias, picking the best implementation for the
+    current backend (Pallas on TPU, XLA elsewhere)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        return dequant_matmul_pallas(x, w)
+    return dequant_matmul_xla(x, w)

@@ -1,0 +1,139 @@
+"""Packed sub-byte weight format for quantized serving.
+
+The reference stores quantized weights **dequantized back to fp32**
+(ref /root/reference/sleekit/statistics.py:186) and only hints at packing
+via ``quantize_index`` (ref codebook.py:43-54); a real packed format and the
+kernels that consume it are all-new TPU-native work (SURVEY.md §7.8).
+
+Format ("skq1"):
+  * weights live in serving layout (K, N) = (in_features, out_features),
+    i.e. transposed from the quantizer's (out, in);
+  * per-element codebook indices are packed little-endian into uint32
+    words along K: ``vals_per_word = 32 // nbits`` for power-of-two widths
+    and 10 for 3-bit (30 used bits);
+  * a row group of ``vals_per_word`` consecutive K rows shares one word
+    row, so a (K, N) index matrix packs to (ceil(K/vpw), N) uint32 - the
+    lane (N) dimension is untouched, keeping unpacking TPU-vectorizable;
+  * per-output-channel f32 scale (N,), shared f32 codebook LUT (k,), and
+    optional f32 bias (N,).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bits_for_codebook(codebook_size: int) -> int:
+    """Smallest packing width holding indices 0..k-1 (1..8 bits)."""
+    nbits = max(1, int(np.ceil(np.log2(codebook_size))))
+    if nbits > 8:
+        raise ValueError(f"codebook size {codebook_size} too large to pack")
+    return nbits
+
+
+def vals_per_word(nbits: int) -> int:
+    """Sub-elements per uint32 word: 32/nbits, except 10 for 3-bit."""
+    if nbits == 3:
+        return 10
+    if 32 % nbits != 0:
+        raise ValueError(f"unsupported pack width {nbits}")
+    return 32 // nbits
+
+
+def pack_indices(idx: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """Pack (K, N) integer indices into (ceil(K/vpw), N) int32 words.
+
+    Words carry raw bit patterns (int32 for Mosaic compatibility - TPU
+    kernels lack uint32<->f32 casts); all unpacking uses logical shifts,
+    so the sign bit is just another payload bit.
+    """
+    assert idx.ndim == 2
+    k, n = idx.shape
+    vpw = vals_per_word(nbits)
+    k_pad = -(-k // vpw) * vpw
+    idx = jnp.pad(idx.astype(jnp.uint32), ((0, k_pad - k), (0, 0)))
+    grouped = idx.reshape(k_pad // vpw, vpw, n)
+    shifts = (jnp.arange(vpw, dtype=jnp.uint32) * nbits)[None, :, None]
+    words = jnp.sum(grouped << shifts, axis=1, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(words, jnp.int32)
+
+
+def unpack_indices(packed: jnp.ndarray, nbits: int, k: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_indices`; returns (k, N) int32 indices."""
+    assert packed.ndim == 2
+    vpw = vals_per_word(nbits)
+    mask = jnp.int32((1 << nbits) - 1)
+    shifts = (jnp.arange(vpw, dtype=jnp.int32) * nbits)[None, :, None]
+    sub = jax.lax.shift_right_logical(packed[:, None, :], shifts) & mask
+    full = sub.reshape(packed.shape[0] * vpw, packed.shape[1])
+    return full[:k]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedLinear:
+    """A packed weight-only-quantized linear layer: y = x @ deq(W) + b.
+
+    ``deq(W)[k, n] = lut[idx[k, n]] * scale[n]`` - per-output-channel scale
+    over a shared codebook LUT, matching the quantizer's per-channel
+    scaling contract (Q = cb(W/s) * s, ref scaling.py:58-81).
+    """
+
+    packed: jnp.ndarray          # (ceil(K/vpw), N) int32 bit patterns
+    scale: jnp.ndarray           # (N,) f32
+    lut: jnp.ndarray             # (codebook_size,) f32
+    bias: Optional[jnp.ndarray]  # (N,) f32 or None
+    in_features: int = dataclasses.field(metadata=dict(static=True))
+    out_features: int = dataclasses.field(metadata=dict(static=True))
+    nbits: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def vpw(self) -> int:
+        return vals_per_word(self.nbits)
+
+    def dequantize(self) -> jnp.ndarray:
+        """Dense f32 (K, N) weights (reference semantics of storing the
+        dequantized matrix, for validation and fallback paths)."""
+        idx = unpack_indices(self.packed, self.nbits, self.in_features)
+        return jnp.take(self.lut, idx) * self.scale[None, :]
+
+    def memory_bytes(self) -> int:
+        return int(self.packed.size * 4 + self.scale.size * 4
+                   + self.lut.size * 4
+                   + (0 if self.bias is None else self.bias.size * 4))
+
+
+def pack_quantized(
+    weight_q: jnp.ndarray,
+    scale: jnp.ndarray,
+    codebook,
+    bias: Optional[jnp.ndarray] = None,
+) -> PackedLinear:
+    """Pack a quantizer output into serving format.
+
+    ``weight_q`` is the dequantized (out, in) matrix produced by the
+    pipeline (values lie on the per-channel scaled codebook grid);
+    ``scale`` the per-output-channel scale; ``codebook`` the codebook it
+    was quantized against.
+    """
+    out_f, in_f = weight_q.shape
+    # Back to grid indices: divide the per-channel scale out, then index.
+    normalized = weight_q / scale[:, None]
+    idx = codebook.quantize_index(normalized).astype(jnp.int32)
+    lut = jnp.asarray(codebook.values, jnp.float32)
+    nbits = bits_for_codebook(int(lut.shape[0]))
+    packed = pack_indices(idx.T, nbits)  # serving layout (K, N)
+    return PackedLinear(
+        packed=packed,
+        scale=jnp.asarray(scale, jnp.float32),
+        lut=lut,
+        bias=None if bias is None else jnp.asarray(bias, jnp.float32),
+        in_features=in_f,
+        out_features=out_f,
+        nbits=nbits,
+    )

@@ -1,0 +1,122 @@
+"""Device mesh + sharding rules: DP calibration, TP serving.
+
+The reference is single-process NumPy with no parallelism of any kind
+(SURVEY.md §2.3); this module supplies the TPU-native design: one global
+``Mesh`` with ``('data', 'model')`` axes, ``NamedSharding`` annotations on
+the param/stats/cache pytrees, and GSPMD-inserted collectives - Hessian
+statistics all-reduce over ``data``, tensor-parallel activations
+all-reduce over ``model`` (Megatron-style column/row split pairs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sleekit_tpu.models.transformer import TransformerConfig
+from sleekit_tpu.ops.pack import PackedLinear
+
+
+def make_mesh(data: int = 1, model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over the given (or all) devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = data * model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = mesh_utils.create_device_mesh((data, model),
+                                        devices=devices[:n])
+    return Mesh(arr, ("data", "model"))
+
+
+# ---- partition specs -----------------------------------------------------
+
+# Column-parallel linears: output dim sharded over 'model' (their outputs
+# are head-/ff-sharded activations). Row-parallel linears: input dim
+# sharded; GSPMD inserts the all-reduce on their output.
+_COL_PARALLEL = ("q", "k", "v", "fc1", "gate", "up")
+_ROW_PARALLEL = ("o", "fc2", "down")
+
+
+def _linear_spec(name: str, p) -> Any:
+    col = name in _COL_PARALLEL
+    if isinstance(p, PackedLinear):
+        if col:
+            return PackedLinear(
+                packed=P(None, "model"), scale=P("model"), lut=P(),
+                bias=None if p.bias is None else P("model"),
+                in_features=p.in_features, out_features=p.out_features,
+                nbits=p.nbits)
+        return PackedLinear(
+            packed=P("model", None), scale=P(), lut=P(),
+            bias=None if p.bias is None else P(),
+            in_features=p.in_features, out_features=p.out_features,
+            nbits=p.nbits)
+    spec = {}
+    if col:
+        spec["kernel"] = P(None, "model")
+        if "bias" in p:
+            spec["bias"] = P("model")
+    else:
+        spec["kernel"] = P("model", None)
+        if "bias" in p:
+            spec["bias"] = P()
+    return spec
+
+
+def _norm_spec(p) -> Dict[str, Any]:
+    return {k: P() for k in p}
+
+
+def param_specs(cfg: TransformerConfig, params) -> Any:
+    """PartitionSpec pytree matching the param tree (TP over 'model')."""
+    specs: Dict[str, Any] = {"embed": {"tokens": P()}}
+    emb = params["embed"]
+    if "pos" in emb:
+        specs["embed"]["pos"] = P()
+    if "ln" in emb:
+        specs["embed"]["ln"] = _norm_spec(emb["ln"])
+    if "project_in" in emb:
+        specs["embed"]["project_in"] = {"kernel": P()}
+    if "project_out" in emb:
+        specs["embed"]["project_out"] = {"kernel": P()}
+    layers = []
+    for layer in params["layers"]:
+        lspec: Dict[str, Any] = {
+            "ln1": _norm_spec(layer["ln1"]),
+            "ln2": _norm_spec(layer["ln2"]),
+            "attn": {k: _linear_spec(k, v) for k, v in layer["attn"].items()},
+            "mlp": {k: _linear_spec(k, v) for k, v in layer["mlp"].items()},
+        }
+        layers.append(lspec)
+    specs["layers"] = layers
+    if "final_ln" in params:
+        specs["final_ln"] = _norm_spec(params["final_ln"])
+    if "lm_head" in params:
+        specs["lm_head"] = {"kernel": P(None, "model")}
+    return specs
+
+
+def stats_specs(stats) -> Any:
+    """Calibration statistics are replicated (psum'd over 'data' by GSPMD
+    when the batch is data-sharded)."""
+    return jax.tree_util.tree_map(lambda _: P(), stats)
+
+
+def kv_cache_specs(cache) -> Any:
+    """KV cache: batch over 'data', heads over 'model'."""
+    return [{"k": P("data", None, "model", None),
+             "v": P("data", None, "model", None)} for _ in cache]
+
+
+def shard_pytree(tree, specs, mesh: Mesh):
+    """device_put a pytree with NamedShardings from a spec tree."""
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(
+        put, tree, specs,
+        is_leaf=lambda x: isinstance(x, jax.Array) or isinstance(x, np.ndarray))

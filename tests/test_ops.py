@@ -1,0 +1,148 @@
+"""Packing and fused dequant-matmul tests: pack/unpack roundtrip at every
+bit width, packed container vs dequantized oracle, Pallas kernel (interpret
+mode) vs XLA implementation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sleekit_tpu.codebooks import Codebook, UniformCodebook
+from sleekit_tpu.ops.dequant_matmul import (
+    dequant_matmul_pallas,
+    dequant_matmul_xla,
+    quantized_matmul,
+)
+from sleekit_tpu.ops.pack import (
+    PackedLinear,
+    bits_for_codebook,
+    pack_indices,
+    pack_quantized,
+    unpack_indices,
+    vals_per_word,
+)
+
+
+@pytest.mark.parametrize("nbits", [1, 2, 3, 4, 8])
+def test_pack_unpack_roundtrip(nbits):
+    rng = np.random.RandomState(nbits)
+    k, n = 77, 33
+    idx = rng.randint(0, 2 ** nbits, (k, n)).astype(np.int32)
+    packed = pack_indices(jnp.asarray(idx), nbits)
+    assert packed.dtype == jnp.int32
+    assert packed.shape == (-(-k // vals_per_word(nbits)), n)
+    back = np.asarray(unpack_indices(packed, nbits, k))
+    assert np.array_equal(back, idx)
+
+
+def test_bits_for_codebook():
+    assert bits_for_codebook(2) == 1
+    assert bits_for_codebook(3) == 2
+    assert bits_for_codebook(4) == 2
+    assert bits_for_codebook(8) == 3
+    assert bits_for_codebook(16) == 4
+    assert bits_for_codebook(256) == 8
+
+
+def test_pack_quantized_roundtrip():
+    """pack(quantizer output) dequantizes back to the exact same matrix."""
+    rng = np.random.RandomState(0)
+    out_f, in_f = 24, 40
+    W = rng.randn(out_f, in_f).astype(np.float32)
+    cb = UniformCodebook(8, -1.0, 1.0)
+    scale = np.abs(W).max(axis=1).astype(np.float32)
+    Wq = np.asarray(cb(jnp.asarray(W / scale[:, None]))) * scale[:, None]
+    packed = pack_quantized(jnp.asarray(Wq), jnp.asarray(scale), cb)
+    assert packed.nbits == 3
+    deq = np.asarray(packed.dequantize())  # (K, N) serving layout
+    assert np.allclose(deq, Wq.T, atol=1e-5)
+
+
+def test_pack_quantized_nf4():
+    rng = np.random.RandomState(1)
+    out_f, in_f = 16, 32
+    W = rng.randn(out_f, in_f).astype(np.float32)
+    cb = Codebook.nf4()
+    scale = np.abs(W).max(axis=1).astype(np.float32)
+    Wq = np.asarray(cb(jnp.asarray(W / scale[:, None]))) * scale[:, None]
+    packed = pack_quantized(jnp.asarray(Wq), jnp.asarray(scale), cb)
+    assert packed.nbits == 4
+    assert np.allclose(np.asarray(packed.dequantize()), Wq.T, atol=1e-5)
+
+
+def test_memory_footprint():
+    """Packed 4-bit weights are ~8x smaller than f32."""
+    rng = np.random.RandomState(2)
+    out_f, in_f = 128, 256
+    W = rng.randn(out_f, in_f).astype(np.float32)
+    cb = UniformCodebook(16, -1.0, 1.0)
+    scale = np.abs(W).max(axis=1).astype(np.float32)
+    Wq = np.asarray(cb(jnp.asarray(W / scale[:, None]))) * scale[:, None]
+    packed = pack_quantized(jnp.asarray(Wq), jnp.asarray(scale), cb)
+    dense_bytes = W.size * 4
+    assert packed.memory_bytes() < dense_bytes / 6
+
+
+def _make_packed(seed, in_f, out_f, cb, with_bias=True):
+    rng = np.random.RandomState(seed)
+    W = rng.randn(out_f, in_f).astype(np.float32)
+    scale = (np.abs(W).max(axis=1) / max(abs(float(np.asarray(cb.min()))),
+                                         abs(float(np.asarray(cb.max()))))
+             ).astype(np.float32)
+    Wq = np.asarray(cb(jnp.asarray(W / scale[:, None]))) * scale[:, None]
+    bias = rng.randn(out_f).astype(np.float32) if with_bias else None
+    packed = pack_quantized(jnp.asarray(Wq), jnp.asarray(scale), cb,
+                            bias=None if bias is None else jnp.asarray(bias))
+    return W, Wq, bias, packed
+
+
+@pytest.mark.parametrize("cb,name", [
+    (UniformCodebook(8, -1.0, 1.0), "int3-uniform"),
+    (UniformCodebook(16, -1.0, 1.0), "int4-uniform"),
+    (UniformCodebook(4, -1.0, 1.0), "int2-uniform"),
+    (Codebook.nf4(), "nf4"),
+    (Codebook.create([-1.0, 0.0, 1.0]), "ternary"),
+])
+def test_xla_matmul_matches_dense(cb, name):
+    W, Wq, bias, packed = _make_packed(3, 64, 48, cb)
+    rng = np.random.RandomState(4)
+    x = rng.randn(5, 64).astype(np.float32)
+    got = np.asarray(dequant_matmul_xla(jnp.asarray(x), packed))
+    expected = x @ Wq.T + bias[None, :]
+    assert np.allclose(got, expected, rtol=1e-4, atol=1e-4), name
+
+
+@pytest.mark.parametrize("cb,name", [
+    (UniformCodebook(8, -1.0, 1.0), "int3-uniform"),
+    (UniformCodebook(16, -1.0, 1.0), "int4-uniform"),
+    (Codebook.nf4(), "nf4"),
+])
+def test_pallas_matches_xla(cb, name):
+    """Pallas kernel in interpreter mode == XLA oracle."""
+    W, Wq, bias, packed = _make_packed(5, 96, 80, cb)
+    rng = np.random.RandomState(6)
+    x = rng.randn(4, 96).astype(np.float32)
+    oracle = np.asarray(dequant_matmul_xla(jnp.asarray(x), packed))
+    got = np.asarray(dequant_matmul_pallas(jnp.asarray(x), packed,
+                                           interpret=True))
+    assert np.allclose(got, oracle, rtol=1e-4, atol=1e-4), name
+
+
+def test_pallas_larger_shapes_multi_tile():
+    """Shapes spanning several N and K tiles."""
+    cb = UniformCodebook(16, -1.0, 1.0)
+    W, Wq, bias, packed = _make_packed(7, 512, 640, cb)
+    rng = np.random.RandomState(8)
+    x = rng.randn(3, 512).astype(np.float32)
+    oracle = np.asarray(dequant_matmul_xla(jnp.asarray(x), packed))
+    got = np.asarray(dequant_matmul_pallas(jnp.asarray(x), packed,
+                                           block_n=256, interpret=True))
+    assert np.allclose(got, oracle, rtol=1e-4, atol=1e-3)
+
+
+def test_quantized_matmul_dispatch_cpu():
+    cb = UniformCodebook(8, -1.0, 1.0)
+    _, Wq, bias, packed = _make_packed(9, 32, 16, cb)
+    x = jnp.asarray(np.random.RandomState(10).randn(2, 32).astype(np.float32))
+    got = np.asarray(quantized_matmul(x, packed))
+    expected = np.asarray(dequant_matmul_xla(x, packed))
+    assert np.allclose(got, expected, atol=1e-5)
