@@ -331,10 +331,19 @@ def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
         attn = _attention(cfg, q, k, v, bias)
     else:
         cache_k, cache_v, write_pos = kv_write
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.astype(cache_k.dtype), (0, write_pos, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.astype(cache_v.dtype), (0, write_pos, 0, 0))
+        if jnp.ndim(write_pos) == 0:
+            # Uniform start (prefill): one contiguous slice write.
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, write_pos, 0, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, write_pos, 0, 0))
+        else:
+            # Ragged per-slot positions (continuous-batching decode, T=1).
+            rows = jnp.arange(b)
+            cache_k = cache_k.at[rows, write_pos].set(
+                k[:, 0].astype(cache_k.dtype))
+            cache_v = cache_v.at[rows, write_pos].set(
+                v[:, 0].astype(cache_v.dtype))
         s = cache_k.shape[1]
         k_pos = jnp.arange(s)
         valid = k_pos[None, :] <= positions[:, -1:]  # (B, S)
@@ -440,12 +449,16 @@ def decode_step(cfg: TransformerConfig, params, tokens: jnp.ndarray,
                 cache, pos: jnp.ndarray):
     """One token of cached decode.
 
-    tokens: (B, 1) int32; pos: scalar int32 current position (same for the
-    whole batch - the continuous-batching engine handles ragged sequences
-    at the slot level). Returns (logits (B, V), new cache).
+    tokens: (B, 1) int32; pos: scalar int32 (uniform batch) or (B,) int32
+    per-slot positions (ragged continuous batching). Returns
+    (logits (B, V), new cache).
     """
     b = tokens.shape[0]
-    positions = jnp.broadcast_to(pos, (b, 1))
+    pos = jnp.asarray(pos)
+    if pos.ndim == 0:
+        positions = jnp.broadcast_to(pos, (b, 1))
+    else:
+        positions = pos[:, None]
     x = _embed(cfg, params, tokens, positions)
     new_cache = []
     for i, layer in enumerate(params["layers"]):

@@ -1,0 +1,213 @@
+"""Quantized serving engine with continuous batching.
+
+All-new capability (the reference has no serving side, SURVEY.md §7.8):
+a slot-based continuous-batching engine over the packed-weight forward.
+
+Design (TPU-first):
+  * a fixed pool of ``max_slots`` sequences shares one batched KV cache -
+    the decode step is a single jitted program with static shapes, ragged
+    sequence positions handled by a per-slot position vector (scatter KV
+    writes, per-row causal masks);
+  * prompts prefill into a power-of-two length bucket (bounded number of
+    compiled prefill programs) and their KV rows are spliced into the
+    pool cache with one jitted write;
+  * admission is greedy each step: free slots pull from the queue, so
+    short and long requests mix without padding the whole batch to the
+    longest request (continuous batching);
+  * per-slot temperature: one jitted sampler handles greedy and sampled
+    slots in the same batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleekit_tpu.models.transformer import (
+    TransformerConfig,
+    decode_step,
+    init_kv_cache,
+    prefill,
+)
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: np.ndarray                 # (T,) int32
+    max_new_tokens: int
+    temperature: float = 0.0
+    eos_id: Optional[int] = None
+    request_id: int = -1
+
+
+@dataclasses.dataclass
+class Completion:
+    request_id: int
+    tokens: np.ndarray                 # prompt + generated
+    new_tokens: np.ndarray             # generated only
+    finish_reason: str                 # "length" | "eos"
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def _splice_cache(cfg: TransformerConfig, slot_cache, pool_cache, slot: jnp.ndarray):
+    """Write a (1, T, H, D) prefill cache into pool slot ``slot``."""
+    out = []
+    for lc, pc in zip(slot_cache, pool_cache):
+        t = lc["k"].shape[1]
+        k = jax.lax.dynamic_update_slice(
+            pc["k"], lc["k"].astype(pc["k"].dtype), (slot, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            pc["v"], lc["v"].astype(pc["v"].dtype), (slot, 0, 0, 0))
+        out.append({"k": k, "v": v})
+    return out
+
+
+@partial(jax.jit, static_argnames=())
+def _sample(logits, temps, key):
+    """Per-slot greedy/temperature sampling in one program."""
+    greedy = jnp.argmax(logits, axis=-1)
+    safe_t = jnp.maximum(temps, 1e-4)
+    sampled = jax.random.categorical(key, logits / safe_t[:, None], axis=-1)
+    return jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+
+
+class Engine:
+    """Continuous-batching generation engine over (packed) params."""
+
+    def __init__(self, cfg: TransformerConfig, params, max_slots: int = 8,
+                 max_seq_len: int = 512, cache_dtype=jnp.float32,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.params = params
+        self.max_slots = max_slots
+        self.max_seq_len = max_seq_len
+        self.cache = init_kv_cache(cfg, max_slots, max_seq_len, cache_dtype)
+        self.cache_dtype = cache_dtype
+        self.key = jax.random.PRNGKey(seed)
+
+        self._decode = jax.jit(decode_step, static_argnums=(0,))
+        self._prefill = jax.jit(prefill, static_argnums=(0,))
+
+        # Host-side slot state
+        self.slot_req: List[Optional[Request]] = [None] * max_slots
+        self.slot_tokens: List[List[int]] = [[] for _ in range(max_slots)]
+        self.slot_new: List[List[int]] = [[] for _ in range(max_slots)]
+        self.slot_pos = np.zeros(max_slots, np.int32)      # next write position
+        self.slot_last = np.zeros(max_slots, np.int32)     # last emitted token
+        self.queue: List[Request] = []
+        self.finished: List[Completion] = []
+        self._next_id = 0
+
+    # ---- public API ---------------------------------------------------
+
+    def submit(self, req: Request) -> int:
+        if req.request_id < 0:
+            req.request_id = self._next_id
+            self._next_id += 1
+        assert len(req.prompt) + req.max_new_tokens <= self.max_seq_len, (
+            "request longer than engine max_seq_len")
+        self.queue.append(req)
+        return req.request_id
+
+    def run(self, requests: Sequence[Request]) -> List[Completion]:
+        """Submit all requests, step until drained, return completions in
+        submission order."""
+        ids = [self.submit(r) for r in requests]
+        while self.has_work():
+            self.step()
+        by_id = {c.request_id: c for c in self.finished}
+        out = [by_id[i] for i in ids]
+        self.finished = [c for c in self.finished if c.request_id not in set(ids)]
+        return out
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(r is not None for r in self.slot_req)
+
+    # ---- internals ----------------------------------------------------
+
+    def _admit(self) -> None:
+        for slot in range(self.max_slots):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            prompt = np.asarray(req.prompt, np.int32)
+            t = len(prompt)
+            bucket = min(_bucket(t), self.max_seq_len)
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, :t] = prompt
+            tmp_cache = init_kv_cache(self.cfg, 1, bucket, self.cache_dtype)
+            logits, tmp_cache = self._prefill(
+                self.cfg, self.params, jnp.asarray(padded), tmp_cache)
+            self.cache = _splice_cache(self.cfg, tmp_cache, self.cache,
+                                       jnp.int32(slot))
+            # First generated token comes from the last REAL prompt position.
+            last_logits = logits[0, t - 1]
+            self.key, sub = jax.random.split(self.key)
+            nxt = int(_sample(last_logits[None, :],
+                              jnp.asarray([req.temperature], jnp.float32),
+                              sub)[0])
+            self.slot_req[slot] = req
+            self.slot_tokens[slot] = prompt.tolist() + [nxt]
+            self.slot_new[slot] = [nxt]
+            self.slot_pos[slot] = t
+            self.slot_last[slot] = nxt
+            self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot: int) -> None:
+        req = self.slot_req[slot]
+        if req is None:
+            return
+        new = self.slot_new[slot]
+        reason = None
+        if req.eos_id is not None and new and new[-1] == req.eos_id:
+            reason = "eos"
+        elif len(new) >= req.max_new_tokens:
+            reason = "length"
+        if reason:
+            self.finished.append(Completion(
+                request_id=req.request_id,
+                tokens=np.asarray(self.slot_tokens[slot], np.int32),
+                new_tokens=np.asarray(new, np.int32),
+                finish_reason=reason))
+            self.slot_req[slot] = None
+            self.slot_tokens[slot] = []
+            self.slot_new[slot] = []
+
+    def step(self) -> None:
+        """One engine iteration: admit new requests, one decode step for
+        all active slots, collect finished sequences."""
+        self._admit()
+        active = [i for i, r in enumerate(self.slot_req) if r is not None]
+        if not active:
+            return
+        tokens = jnp.asarray(self.slot_last[:, None], jnp.int32)
+        # Inactive slots decode garbage into a clamped position; their
+        # output is ignored and their cache rows are re-prefilled on admit.
+        pos = jnp.asarray(np.minimum(self.slot_pos, self.max_seq_len - 1),
+                          jnp.int32)
+        logits, self.cache = self._decode(self.cfg, self.params, tokens,
+                                          self.cache, pos)
+        temps = jnp.asarray(
+            [self.slot_req[i].temperature if self.slot_req[i] else 0.0
+             for i in range(self.max_slots)], jnp.float32)
+        self.key, sub = jax.random.split(self.key)
+        nxt = np.asarray(_sample(logits, temps, sub))
+        for slot in active:
+            tok = int(nxt[slot])
+            self.slot_tokens[slot].append(tok)
+            self.slot_new[slot].append(tok)
+            self.slot_pos[slot] += 1
+            self.slot_last[slot] = tok
+            self._maybe_finish(slot)

@@ -1,0 +1,99 @@
+"""Serving engine tests: engine output == plain generate, continuous
+batching with ragged prompts, eos stop, packed-weight serving."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sleekit_tpu.models.eval import generate
+from sleekit_tpu.models.fake_quant import random_packed_params
+from sleekit_tpu.models.transformer import init_params
+from sleekit_tpu.models.zoo import tiny_test
+from sleekit_tpu.serve.engine import Engine, Request
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test(n_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def test_engine_matches_generate(model):
+    """Greedy engine output == the reference generate() path."""
+    cfg, params = model
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(0, cfg.vocab_size, (6,)).astype(np.int32)
+    eng = Engine(cfg, params, max_slots=2, max_seq_len=64)
+    [comp] = eng.run([Request(prompt=prompt, max_new_tokens=8)])
+    expected = np.asarray(generate(cfg, params,
+                                   jnp.asarray(prompt[None, :]), 8))[0]
+    assert comp.finish_reason == "length"
+    assert np.array_equal(comp.tokens, expected)
+
+
+def test_engine_continuous_batching_ragged(model):
+    """More requests than slots, different prompt lengths and budgets -
+    every output matches its standalone generation."""
+    cfg, params = model
+    rng = np.random.RandomState(1)
+    reqs = []
+    for i in range(5):
+        t = rng.randint(3, 20)
+        reqs.append(Request(prompt=rng.randint(0, cfg.vocab_size, (t,))
+                            .astype(np.int32),
+                            max_new_tokens=int(rng.randint(2, 9))))
+    eng = Engine(cfg, params, max_slots=2, max_seq_len=64)
+    comps = eng.run(reqs)
+    assert len(comps) == 5
+    for req, comp in zip(reqs, comps):
+        expected = np.asarray(generate(
+            cfg, params, jnp.asarray(req.prompt[None, :]),
+            req.max_new_tokens))[0]
+        assert np.array_equal(comp.tokens, expected), comp.request_id
+        assert len(comp.new_tokens) == req.max_new_tokens
+
+
+def test_engine_eos_stop(model):
+    cfg, params = model
+    rng = np.random.RandomState(2)
+    prompt = rng.randint(0, cfg.vocab_size, (5,)).astype(np.int32)
+    # Find what greedy decode emits first, then use it as the eos token.
+    probe = np.asarray(generate(cfg, params, jnp.asarray(prompt[None, :]), 1))[0]
+    eos = int(probe[-1])
+    eng = Engine(cfg, params, max_slots=1, max_seq_len=64)
+    [comp] = eng.run([Request(prompt=prompt, max_new_tokens=10, eos_id=eos)])
+    assert comp.finish_reason == "eos"
+    assert len(comp.new_tokens) == 1
+    assert comp.new_tokens[-1] == eos
+
+
+def test_engine_packed_weights(model):
+    """Engine over int4 packed params produces valid tokens."""
+    cfg, _ = model
+    qparams, _ = random_packed_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(3)
+    eng = Engine(cfg, qparams, max_slots=2, max_seq_len=64)
+    comps = eng.run([
+        Request(prompt=rng.randint(0, cfg.vocab_size, (4,)).astype(np.int32),
+                max_new_tokens=5),
+        Request(prompt=rng.randint(0, cfg.vocab_size, (9,)).astype(np.int32),
+                max_new_tokens=3),
+    ])
+    assert [len(c.new_tokens) for c in comps] == [5, 3]
+    for c in comps:
+        assert ((0 <= c.new_tokens) & (c.new_tokens < cfg.vocab_size)).all()
+
+
+def test_engine_sampled_reproducible(model):
+    cfg, params = model
+    rng = np.random.RandomState(4)
+    prompt = rng.randint(0, cfg.vocab_size, (5,)).astype(np.int32)
+    outs = []
+    for _ in range(2):
+        eng = Engine(cfg, params, max_slots=1, max_seq_len=64, seed=42)
+        [c] = eng.run([Request(prompt=prompt, max_new_tokens=6,
+                               temperature=0.9)])
+        outs.append(c.tokens)
+    assert np.array_equal(outs[0], outs[1])
