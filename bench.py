@@ -29,6 +29,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: axon remote compiles are slow, cache hard.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     model_name = os.environ.get("BENCH_MODEL", "opt-1.3b")
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "32"))

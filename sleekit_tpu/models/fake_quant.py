@@ -20,7 +20,7 @@ from sleekit_tpu.models.transformer import (
     layer_names,
     set_linear_param,
 )
-from sleekit_tpu.ops.pack import PackedLinear, bits_for_codebook, pack_indices
+from sleekit_tpu.ops.pack import (PackedLinear, affine_from_lut, bits_for_codebook, pack_indices)
 
 
 def random_packed_linear(key, in_features: int, out_features: int,
@@ -30,10 +30,12 @@ def random_packed_linear(key, in_features: int, out_features: int,
     idx = jax.random.randint(k1, (in_features, out_features), 0, len(codebook))
     packed = pack_indices(idx, nbits)
     scale = 0.02 * (1.0 + 0.1 * jax.random.uniform(k2, (out_features,)))
+    lut = jnp.asarray(codebook.values, jnp.float32)
     return PackedLinear(
         packed=packed, scale=scale.astype(jnp.float32),
-        lut=jnp.asarray(codebook.values, jnp.float32), bias=None,
-        in_features=in_features, out_features=out_features, nbits=nbits)
+        lut=lut, bias=None,
+        in_features=in_features, out_features=out_features, nbits=nbits,
+        affine=affine_from_lut(lut))
 
 
 def random_packed_params(cfg: TransformerConfig, key,

@@ -57,7 +57,8 @@ def llama2_7b(**kw) -> TransformerConfig:
         vocab_size=32000, d_model=4096, n_layers=32, n_heads=32,
         n_kv_heads=32, d_ff=11008, max_seq_len=4096,
         activation="silu_glu", norm="rmsnorm", positional="rope",
-        pre_norm=True, final_ln=True, tie_embeddings=False, **kw)
+        pre_norm=True, final_ln=True, tie_embeddings=False,
+        norm_eps=1e-6, **kw)
 
 
 def llama3_8b(**kw) -> TransformerConfig:
@@ -66,7 +67,7 @@ def llama3_8b(**kw) -> TransformerConfig:
         n_kv_heads=8, d_ff=14336, max_seq_len=8192,
         activation="silu_glu", norm="rmsnorm", positional="rope",
         rope_theta=500000.0, pre_norm=True, final_ln=True,
-        tie_embeddings=False, **kw)
+        tie_embeddings=False, norm_eps=1e-6, **kw)
 
 
 def tiny_test(**kw) -> TransformerConfig:

@@ -32,17 +32,6 @@ from jax.experimental.pallas import tpu as pltpu
 from sleekit_tpu.ops.pack import PackedLinear, unpack_indices, vals_per_word
 
 
-def _affine_params(lut: np.ndarray):
-    """If the LUT is an affine grid (uniform codebook), return (step, zero)."""
-    if lut.size < 2:
-        return None
-    diffs = np.diff(lut)
-    step = float(diffs[0])
-    if np.allclose(diffs, step, rtol=1e-5, atol=1e-7):
-        return step, float(lut[0])
-    return None
-
-
 def dequant_matmul_xla(x: jnp.ndarray, w: PackedLinear) -> jnp.ndarray:
     """Correctness-oracle implementation on plain XLA ops."""
     idx = unpack_indices(w.packed, w.nbits, w.in_features)
@@ -146,7 +135,7 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
                           interpret: bool = False) -> jnp.ndarray:
     """Fused Pallas TPU kernel. ``interpret=True`` runs the same kernel on
     CPU for tests."""
-    affine = _affine_params(np.asarray(w.lut))
+    affine = w.affine  # static metadata, safe under jit
     y = _pallas_impl(
         x, w.packed, w.scale, w.lut,
         nbits=w.nbits, vpw=w.vpw, in_features=w.in_features,

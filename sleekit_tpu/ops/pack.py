@@ -21,11 +21,25 @@ Format ("skq1"):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def affine_from_lut(lut) -> Optional[Tuple[float, float]]:
+    """(step, zero) if the LUT is an affine grid (uniform codebook), else
+    None. Static metadata so kernels can pick the closed-form dequant path
+    at trace time."""
+    lut = np.asarray(lut)
+    if lut.size < 2:
+        return None
+    diffs = np.diff(lut)
+    step = float(diffs[0])
+    if np.allclose(diffs, step, rtol=1e-5, atol=1e-7):
+        return (step, float(lut[0]))
+    return None
 
 
 def bits_for_codebook(codebook_size: int) -> int:
@@ -91,6 +105,10 @@ class PackedLinear:
     in_features: int = dataclasses.field(metadata=dict(static=True))
     out_features: int = dataclasses.field(metadata=dict(static=True))
     nbits: int = dataclasses.field(metadata=dict(static=True))
+    # (step, zero) for uniform codebooks - enables the closed-form affine
+    # dequant in kernels; None for table codebooks (NF4, Lloyd-Max).
+    affine: Optional[Tuple[float, float]] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def vpw(self) -> int:
@@ -136,4 +154,5 @@ def pack_quantized(
         in_features=in_f,
         out_features=out_f,
         nbits=nbits,
+        affine=affine_from_lut(lut),
     )
