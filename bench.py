@@ -46,7 +46,9 @@ def main():
     from sleekit_tpu.models.transformer import decode_step, init_kv_cache, init_params
     from sleekit_tpu.models.zoo import get_config
 
-    cfg = get_config(model_name, dtype=jnp.bfloat16)
+    # scan_layers compiles the layer stack once (vital: remote compiles of
+    # unrolled deep models through the axon relay take tens of minutes).
+    cfg = get_config(model_name, dtype=jnp.bfloat16, scan_layers=True)
     log(f"bench: {model_name} {nbits}-bit batch={batch} steps={steps} "
         f"ctx={ctx} on {jax.devices()[0].platform}")
 
@@ -82,7 +84,10 @@ def main():
     del qparams
 
     # Dense bf16 baseline
+    from sleekit_tpu.models.transformer import stack_layer_params
     dparams = init_params(cfg, key)
+    if cfg.scan_layers:
+        dparams = stack_layer_params(dparams)
     dparams = jax.device_put(dparams)
     dense_tok_s = run_decode(dparams, "bf16 dense")
 

@@ -50,4 +50,7 @@ def random_packed_params(cfg: TransformerConfig, key,
         key, sub = jax.random.split(key)
         set_linear_param(params, name, random_packed_linear(
             sub, kern.shape[0], kern.shape[1], codebook))
+    if cfg.scan_layers:
+        from sleekit_tpu.models.transformer import stack_layer_params
+        params = stack_layer_params(params)
     return params, codebook

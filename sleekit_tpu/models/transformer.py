@@ -55,6 +55,11 @@ class TransformerConfig:
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
     dtype: Any = jnp.float32
+    # Compile the layer stack as ONE block under lax.scan instead of an
+    # unrolled python loop: ~n_layers x smaller HLO and compile time.
+    # Requires stacked layer params (stack_layer_params) and the stacked
+    # KV-cache layout; calibration capture requires scan_layers=False.
+    scan_layers: bool = False
 
     @property
     def kv_heads(self) -> int:
@@ -399,6 +404,27 @@ def _unembed(cfg, params, x):
     return logits
 
 
+def stack_layer_params(params):
+    """Convert the per-layer param list into one stacked pytree (leading
+    axis = layer) for ``scan_layers`` models. Static PackedLinear metadata
+    is shared, so packed layers stack transparently."""
+    layers = params["layers"]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    out = dict(params)
+    out["layers"] = stacked
+    return out
+
+
+def unstack_layer_params(params, n_layers: int):
+    """Inverse of :func:`stack_layer_params`."""
+    stacked = params["layers"]
+    layers = [jax.tree_util.tree_map(lambda x: x[i], stacked)
+              for i in range(n_layers)]
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def forward(cfg: TransformerConfig, params, tokens: jnp.ndarray,
             stats: Optional[Dict[str, LayerStats]] = None):
     """Full-sequence causal forward. tokens: (B, T) int32 -> logits
@@ -406,8 +432,17 @@ def forward(cfg: TransformerConfig, params, tokens: jnp.ndarray,
     b, t = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     x = _embed(cfg, params, tokens, positions)
-    for i, layer in enumerate(params["layers"]):
-        x, _, stats = _block(cfg, layer, x, positions, None, stats, i)
+    if cfg.scan_layers:
+        assert stats is None, "calibration capture requires scan_layers=False"
+
+        def body(x, layer):
+            x, _, _ = _block(cfg, layer, x, positions, None, None, 0)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+    else:
+        for i, layer in enumerate(params["layers"]):
+            x, _, stats = _block(cfg, layer, x, positions, None, stats, i)
     logits = _unembed(cfg, params, x)
     if stats is not None:
         return logits, stats
@@ -441,8 +476,33 @@ def calibrate_step(cfg: TransformerConfig, params, tokens,
 def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
                   dtype=jnp.float32):
     shape = (batch, max_len, cfg.kv_heads, cfg.head_dim)
+    if cfg.scan_layers:
+        return {"k": jnp.zeros((cfg.n_layers, *shape), dtype),
+                "v": jnp.zeros((cfg.n_layers, *shape), dtype)}
     return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for _ in range(cfg.n_layers)]
+
+
+def _run_layers_cached(cfg, params, x, positions, cache, write_pos):
+    """Run all blocks against the KV cache; returns (x, new cache).
+    Handles both the per-layer list layout and the stacked scan layout."""
+    if cfg.scan_layers:
+
+        def body(x, inp):
+            layer, ck, cv = inp
+            x, kv_out, _ = _block(cfg, layer, x, positions,
+                                  (ck, cv, write_pos), None, 0)
+            return x, kv_out
+
+        x, (ks, vs) = jax.lax.scan(
+            body, x, (params["layers"], cache["k"], cache["v"]))
+        return x, {"k": ks, "v": vs}
+    new_cache = []
+    for i, layer in enumerate(params["layers"]):
+        kv = (cache[i]["k"], cache[i]["v"], write_pos)
+        x, kv_out, _ = _block(cfg, layer, x, positions, kv, None, i)
+        new_cache.append({"k": kv_out[0], "v": kv_out[1]})
+    return x, new_cache
 
 
 def decode_step(cfg: TransformerConfig, params, tokens: jnp.ndarray,
@@ -460,11 +520,7 @@ def decode_step(cfg: TransformerConfig, params, tokens: jnp.ndarray,
     else:
         positions = pos[:, None]
     x = _embed(cfg, params, tokens, positions)
-    new_cache = []
-    for i, layer in enumerate(params["layers"]):
-        kv = (cache[i]["k"], cache[i]["v"], pos)
-        x, kv_out, _ = _block(cfg, layer, x, positions, kv, None, i)
-        new_cache.append({"k": kv_out[0], "v": kv_out[1]})
+    x, new_cache = _run_layers_cached(cfg, params, x, positions, cache, pos)
     logits = _unembed(cfg, params, x)
     return logits[:, 0, :], new_cache
 
@@ -475,9 +531,5 @@ def prefill(cfg: TransformerConfig, params, tokens: jnp.ndarray, cache):
     b, t = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     x = _embed(cfg, params, tokens, positions)
-    new_cache = []
-    for i, layer in enumerate(params["layers"]):
-        kv = (cache[i]["k"], cache[i]["v"], 0)
-        x, kv_out, _ = _block(cfg, layer, x, positions, kv, None, i)
-        new_cache.append({"k": kv_out[0], "v": kv_out[1]})
+    x, new_cache = _run_layers_cached(cfg, params, x, positions, cache, 0)
     return _unembed(cfg, params, x), new_cache

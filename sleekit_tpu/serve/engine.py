@@ -62,10 +62,19 @@ def _bucket(n: int, lo: int = 16) -> int:
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
 def _splice_cache(cfg: TransformerConfig, slot_cache, pool_cache, slot: jnp.ndarray):
-    """Write a (1, T, H, D) prefill cache into pool slot ``slot``."""
+    """Write a (1, T, H, D)-per-layer prefill cache into pool slot
+    ``slot``. Handles both the per-layer list layout and the stacked
+    scan_layers layout ((L, B, T, H, D) arrays)."""
+    if cfg.scan_layers:
+        k = jax.lax.dynamic_update_slice(
+            pool_cache["k"], slot_cache["k"].astype(pool_cache["k"].dtype),
+            (0, slot, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            pool_cache["v"], slot_cache["v"].astype(pool_cache["v"].dtype),
+            (0, slot, 0, 0, 0))
+        return {"k": k, "v": v}
     out = []
     for lc, pc in zip(slot_cache, pool_cache):
-        t = lc["k"].shape[1]
         k = jax.lax.dynamic_update_slice(
             pc["k"], lc["k"].astype(pc["k"].dtype), (slot, 0, 0, 0))
         v = jax.lax.dynamic_update_slice(
