@@ -176,6 +176,40 @@ def dampen(H: jnp.ndarray, damp: float) -> jnp.ndarray:
     return H + damp * jnp.mean(jnp.diagonal(H)) * jnp.eye(n, dtype=H.dtype)
 
 
+def hessian_inv_chol_robust(
+    H: jnp.ndarray, damp: float, max_retries: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dampened inverse-Cholesky with automatic damp escalation.
+
+    The reference acknowledges but does not handle Cholesky failure on
+    semi-definite Hessians (ref obq.py:49 TODO); per SURVEY.md §5.3 the
+    build retries with 10x dampening until the factor is finite. Returns
+    (Hinv, damp_multiplier_used). When the first attempt succeeds the
+    result is bit-identical to the undamp-retried path.
+    """
+
+    def attempt(eff_damp):
+        return hessian_inv_chol(dampen(H, eff_damp))
+
+    def cond(state):
+        eff, hinv, tries = state
+        return jnp.logical_and(~jnp.all(jnp.isfinite(hinv)),
+                               tries < max_retries)
+
+    def body(state):
+        eff, _, tries = state
+        # Jump straight to a meaningful dampening floor, then escalate:
+        # a microscopic base damp (e.g. 1e-12) would never recover a
+        # rank-deficient Hessian by x10 steps alone.
+        eff = jnp.maximum(eff * 10.0, jnp.float32(1e-4))
+        return eff, attempt(eff), tries + 1
+
+    base = jnp.float32(damp)
+    init = (base, attempt(base), jnp.int32(0))
+    eff, hinv, _ = jax.lax.while_loop(cond, body, init)
+    return hinv, eff / base
+
+
 def hessian_inv_chol(H: jnp.ndarray) -> jnp.ndarray:
     """Upper Cholesky factor of H^-1 via the flip trick.
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from sleekit_tpu.hessian import dampen, hessian_inv_chol
+from sleekit_tpu.hessian import dampen, hessian_inv_chol, hessian_inv_chol_robust
 
 
 # ---- error metrics (ref obq.py:89-103) ----------------------------------
@@ -184,12 +184,16 @@ def quantize_opt(
     damp: float = 0.01,
     nb_ls_moves: int = 0,
     block_size: int = 128,
+    damp_retry: bool = True,
 ) -> jnp.ndarray:
     """Quantize W minimizing the H-weighted squared error, GPTQ-style.
 
     Pipeline (ref obq.py:169-217): dampen H, order columns, permute,
     Cholesky of the inverse, blocked sweep, un-permute, optional
-    best-first local search refinement.
+    best-first local search refinement. ``damp_retry`` escalates the
+    dampening 10x (up to 4 times) when the Cholesky of a near-singular
+    Hessian produces non-finite values (SURVEY.md §5.3; identical result
+    whenever the first attempt succeeds).
     """
     assert W.ndim == 2 and H.ndim == 2
     assert H.shape[0] == H.shape[1] == W.shape[1]
@@ -200,8 +204,11 @@ def quantize_opt(
     order = compute_order(W, H_opt, quantizer, act_order)
 
     Wp = W[:, order]
-    Hp = H_opt[order][:, order]
-    Hinv = hessian_inv_chol(Hp)
+    if damp_retry:
+        Hperm = H[order][:, order]
+        Hinv, _ = hessian_inv_chol_robust(Hperm, damp)
+    else:
+        Hinv = hessian_inv_chol(H_opt[order][:, order])
 
     Qp = gptq_sweep(Wp, Hinv, quantizer, block_size=block_size)
 
