@@ -4,10 +4,16 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
 
 ``value`` is int4 packed-weight decode tokens/s on this chip for the
-flagship geometry (OPT-1.3B by default); ``vs_baseline`` is the speedup
+flagship geometry (OPT-1.3B by default) using the fused multi-token decode
+loop (one device program per K tokens); ``vs_baseline`` is the speedup
 over a bf16 dense decode of the same model on the same chip (the
 reference publishes no throughput numbers - BASELINE.md - so the dense
 model IS the baseline the quantized path must beat).
+
+Timing notes: on the axon TPU tunnel a host<->device round trip costs
+~30ms and ``block_until_ready`` does not reliably wait for completion, so
+throughput is measured by fetching a value (forced D2H) around a fused
+K-step loop and subtracting the measured round-trip overhead.
 
 Env knobs: BENCH_MODEL (zoo name), BENCH_BATCH, BENCH_STEPS, BENCH_NBITS,
 BENCH_CTX.
@@ -30,20 +36,25 @@ def main():
     import jax.numpy as jnp
 
     # Persistent compile cache: axon remote compiles are slow, cache hard.
+    # Keyed by backend - CPU AOT artifacts are machine-specific and must
+    # not mix with the TPU cache.
+    cache_root = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
     jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
+                      os.path.join(cache_root, jax.default_backend()))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     model_name = os.environ.get("BENCH_MODEL", "opt-1.3b")
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    steps = int(os.environ.get("BENCH_STEPS", "32"))
+    steps = int(os.environ.get("BENCH_STEPS", "64"))
     nbits = int(os.environ.get("BENCH_NBITS", "4"))
     ctx = int(os.environ.get("BENCH_CTX", "256"))
 
     from sleekit_tpu.codebooks import UniformCodebook
+    from sleekit_tpu.models.eval import decode_scan
     from sleekit_tpu.models.fake_quant import random_packed_params
-    from sleekit_tpu.models.transformer import decode_step, init_kv_cache, init_params
+    from sleekit_tpu.models.transformer import (
+        init_kv_cache, init_params, stack_layer_params)
     from sleekit_tpu.models.zoo import get_config
 
     # scan_layers compiles the layer stack once (vital: remote compiles of
@@ -55,40 +66,49 @@ def main():
     key = jax.random.PRNGKey(0)
     codebook = UniformCodebook(2 ** nbits, -1.0, 1.0)
 
-    decode = jax.jit(decode_step, static_argnums=(0,))
-    tokens = jnp.zeros((batch, 1), jnp.int32)
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    # Measure the host round-trip overhead to subtract from timings.
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    sync(tiny(jnp.ones((8, 8))))
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        sync(tiny(jnp.ones((8, 8))))
+    overhead = (time.time() - t0) / reps
+    log(f"  host round-trip overhead: {overhead * 1e3:.1f} ms")
+
+    first = jnp.zeros((batch,), jnp.int32)
 
     def run_decode(params, tag):
         cache = init_kv_cache(cfg, batch, ctx, dtype=jnp.bfloat16)
         t0 = time.time()
-        logits, cache = decode(cfg, params, tokens, cache, jnp.int32(0))
-        jax.block_until_ready(logits)
-        log(f"  {tag}: compile+first step {time.time() - t0:.1f}s")
-        # warmup
-        for i in range(3):
-            logits, cache = decode(cfg, params, tokens, cache, jnp.int32(i + 1))
-        jax.block_until_ready(logits)
-        t0 = time.time()
-        for i in range(steps):
-            logits, cache = decode(cfg, params, tokens, cache, jnp.int32(4 + i))
-        jax.block_until_ready(logits)
-        dt = time.time() - t0
-        tok_s = batch * steps / dt
-        log(f"  {tag}: {dt / steps * 1e3:.2f} ms/step, {tok_s:.1f} tokens/s")
+        toks, cache, last, pos = decode_scan(cfg, params, cache, first,
+                                             jnp.int32(0), steps)
+        sync(toks)
+        log(f"  {tag}: compile+first loop {time.time() - t0:.1f}s")
+        best = float("inf")
+        for _ in range(3):
+            cache = init_kv_cache(cfg, batch, ctx, dtype=jnp.bfloat16)
+            t0 = time.time()
+            toks, cache, last, pos = decode_scan(cfg, params, cache, first,
+                                                 jnp.int32(0), steps)
+            sync(toks)
+            best = min(best, time.time() - t0 - overhead)
+        tok_s = batch * steps / best
+        log(f"  {tag}: {best / steps * 1e3:.2f} ms/step, {tok_s:.1f} tokens/s")
         return tok_s
 
     # Quantized packed decode
     qparams, _ = random_packed_params(cfg, key, codebook)
-    qparams = jax.device_put(qparams)
     quant_tok_s = run_decode(qparams, f"int{nbits} packed")
     del qparams
 
     # Dense bf16 baseline
-    from sleekit_tpu.models.transformer import stack_layer_params
     dparams = init_params(cfg, key)
     if cfg.scan_layers:
         dparams = stack_layer_params(dparams)
-    dparams = jax.device_put(dparams)
     dense_tok_s = run_decode(dparams, "bf16 dense")
 
     result = {

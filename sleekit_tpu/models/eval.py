@@ -54,6 +54,44 @@ def chunk_tokens(token_stream: np.ndarray, seq_len: int,
         yield windows[i:i + batch_size].astype(np.int32)
 
 
+@partial(jax.jit, static_argnames=("cfg", "steps"), donate_argnums=(2,))
+def decode_scan(cfg: TransformerConfig, params, cache, last_token, pos0,
+                steps: int):
+    """Fused multi-token greedy decode: ``steps`` decode iterations under
+    one lax.scan = one host dispatch per K tokens (vital when host<->device
+    round trips are expensive). last_token: (B,), pos0: scalar int32.
+    Returns (tokens (B, steps), cache, last (B,), pos)."""
+
+    def body(carry, _):
+        last, cache, pos = carry
+        logits, cache = decode_step(cfg, params, last[:, None], cache, pos)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache, pos + 1), nxt
+
+    (last, cache, pos), toks = jax.lax.scan(
+        body, (last_token, cache, jnp.asarray(pos0, jnp.int32)), None,
+        length=steps)
+    return jnp.transpose(toks), cache, last, pos
+
+
+def generate_fused(cfg: TransformerConfig, params, prompt: jnp.ndarray,
+                   max_new_tokens: int,
+                   max_len: Optional[int] = None) -> jnp.ndarray:
+    """Greedy generation with the fused decode loop (one device program
+    for the prompt, one for all new tokens)."""
+    b, t = prompt.shape
+    max_len = max_len or (t + max_new_tokens)
+    cache = init_kv_cache(cfg, b, max_len)
+    logits, cache = jax.jit(prefill, static_argnums=(0,))(
+        cfg, params, prompt, cache)
+    first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    if max_new_tokens == 1:
+        return jnp.concatenate([prompt, first[:, None]], axis=1)
+    toks, _, _, _ = decode_scan(cfg, params, cache, first, t,
+                                max_new_tokens - 1)
+    return jnp.concatenate([prompt, first[:, None], toks], axis=1)
+
+
 def generate(cfg: TransformerConfig, params, prompt: jnp.ndarray,
              max_new_tokens: int, temperature: float = 0.0,
              key: Optional[jax.Array] = None,

@@ -28,14 +28,14 @@ def random_packed_linear(key, in_features: int, out_features: int,
     nbits = bits_for_codebook(len(codebook))
     k1, k2 = jax.random.split(key)
     idx = jax.random.randint(k1, (in_features, out_features), 0, len(codebook))
-    packed = pack_indices(idx, nbits)
+    packed = pack_indices(idx, nbits, layout="plane")
     scale = 0.02 * (1.0 + 0.1 * jax.random.uniform(k2, (out_features,)))
     lut = jnp.asarray(codebook.values, jnp.float32)
     return PackedLinear(
         packed=packed, scale=scale.astype(jnp.float32),
         lut=lut, bias=None,
         in_features=in_features, out_features=out_features, nbits=nbits,
-        affine=affine_from_lut(lut))
+        affine=affine_from_lut(lut), layout="plane")
 
 
 def random_packed_params(cfg: TransformerConfig, key,

@@ -68,17 +68,22 @@ def quantize_model(
     become :class:`PackedLinear` (serving); otherwise weights stay dense
     dequantized f32 (reference semantics, ref statistics.py:186).
     """
-    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
-    # tree_map copies the dict structure; layers list needs to stay mutable
+    # tree_map rebuilds every container (leaves shared), so the per-layer
+    # set_linear_param mutations below never touch the caller's tree.
+    params = jax.tree_util.tree_map(lambda x: x, params)
     reports: List[LayerReport] = []
-    cb = qconfig.make_codebook()
+    per_layer_cb = qconfig.codebook_kind == "lloyd"
+    explicit_cb = qconfig.codebook_kind != "uniform"
+    cb = None if per_layer_cb else qconfig.make_codebook()
     for name in layer_names(cfg):
         t0 = time.time()
         p = get_linear_param(params, name)
         st = stats[name]
         W = p["kernel"].T  # (out, in), the quantizer's layout
+        if per_layer_cb:
+            cb = qconfig.make_codebook(W)
         Q, bias_delta, scale, err = quantize_layer(
-            W, st.hessian, st.mean, qconfig)
+            W, st.hessian, st.mean, qconfig, cb if explicit_cb else None)
         bias = p.get("bias")
         if qconfig.bias_correction and bias is not None:
             bias = bias + bias_delta

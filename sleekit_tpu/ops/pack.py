@@ -59,32 +59,65 @@ def vals_per_word(nbits: int) -> int:
     return 32 // nbits
 
 
-def pack_indices(idx: jnp.ndarray, nbits: int) -> jnp.ndarray:
+# Word-row group size of the plane-major layout: within each tile of
+# PLANE_GROUP*vpw K-rows, word row g bit-field j holds K row j*PLANE_GROUP+g.
+# Unpacking a (PLANE_GROUP, N) word block is then VPW contiguous block
+# writes (one per bit plane) - no sublane interleave, which is what keeps
+# the TPU dequant kernel at HBM speed (see ops/dequant_matmul.py).
+PLANE_GROUP = 32
+
+LAYOUTS = ("linear", "plane")
+
+
+def pack_indices(idx: jnp.ndarray, nbits: int,
+                 layout: str = "linear") -> jnp.ndarray:
     """Pack (K, N) integer indices into (ceil(K/vpw), N) int32 words.
 
     Words carry raw bit patterns (int32 for Mosaic compatibility - TPU
     kernels lack uint32<->f32 casts); all unpacking uses logical shifts,
     so the sign bit is just another payload bit.
+
+    layout 'linear': word g packs consecutive K rows g*vpw..(g+1)*vpw-1.
+    layout 'plane':  plane-major tiles of PLANE_GROUP word rows (K padded
+    to a multiple of PLANE_GROUP*vpw), the serving-kernel layout.
     """
     assert idx.ndim == 2
+    assert layout in LAYOUTS
     k, n = idx.shape
     vpw = vals_per_word(nbits)
-    k_pad = -(-k // vpw) * vpw
-    idx = jnp.pad(idx.astype(jnp.uint32), ((0, k_pad - k), (0, 0)))
-    grouped = idx.reshape(k_pad // vpw, vpw, n)
+    if layout == "linear":
+        k_pad = -(-k // vpw) * vpw
+        idx = jnp.pad(idx.astype(jnp.uint32), ((0, k_pad - k), (0, 0)))
+        grouped = idx.reshape(k_pad // vpw, vpw, n)
+    else:
+        bk = PLANE_GROUP * vpw
+        k_pad = -(-k // bk) * bk
+        idx = jnp.pad(idx.astype(jnp.uint32), ((0, k_pad - k), (0, 0)))
+        # (tiles, vpw, PLANE_GROUP, n): axis 1 is the bit plane
+        tiles = idx.reshape(k_pad // bk, vpw, PLANE_GROUP, n)
+        grouped = tiles.transpose(0, 2, 1, 3).reshape(k_pad // vpw, vpw, n)
     shifts = (jnp.arange(vpw, dtype=jnp.uint32) * nbits)[None, :, None]
     words = jnp.sum(grouped << shifts, axis=1, dtype=jnp.uint32)
     return jax.lax.bitcast_convert_type(words, jnp.int32)
 
 
-def unpack_indices(packed: jnp.ndarray, nbits: int, k: int) -> jnp.ndarray:
+def unpack_indices(packed: jnp.ndarray, nbits: int, k: int,
+                   layout: str = "linear") -> jnp.ndarray:
     """Inverse of :func:`pack_indices`; returns (k, N) int32 indices."""
     assert packed.ndim == 2
+    assert layout in LAYOUTS
     vpw = vals_per_word(nbits)
     mask = jnp.int32((1 << nbits) - 1)
     shifts = (jnp.arange(vpw, dtype=jnp.int32) * nbits)[None, :, None]
     sub = jax.lax.shift_right_logical(packed[:, None, :], shifts) & mask
-    full = sub.reshape(packed.shape[0] * vpw, packed.shape[1])
+    kw, n = packed.shape
+    if layout == "linear":
+        full = sub.reshape(kw * vpw, n)
+    else:
+        # (kw, vpw, n) -> tiles of PLANE_GROUP word rows; plane j of tile t
+        # holds K rows t*bk + j*PLANE_GROUP + g
+        tiles = sub.reshape(kw // PLANE_GROUP, PLANE_GROUP, vpw, n)
+        full = tiles.transpose(0, 2, 1, 3).reshape(kw * vpw, n)
     return full[:k]
 
 
@@ -109,6 +142,9 @@ class PackedLinear:
     # dequant in kernels; None for table codebooks (NF4, Lloyd-Max).
     affine: Optional[Tuple[float, float]] = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # 'linear' (interchange) or 'plane' (plane-major serving layout).
+    layout: str = dataclasses.field(
+        default="linear", metadata=dict(static=True))
 
     @property
     def vpw(self) -> int:
@@ -117,7 +153,8 @@ class PackedLinear:
     def dequantize(self) -> jnp.ndarray:
         """Dense f32 (K, N) weights (reference semantics of storing the
         dequantized matrix, for validation and fallback paths)."""
-        idx = unpack_indices(self.packed, self.nbits, self.in_features)
+        idx = unpack_indices(self.packed, self.nbits, self.in_features,
+                             layout=self.layout)
         return jnp.take(self.lut, idx) * self.scale[None, :]
 
     def memory_bytes(self) -> int:
@@ -131,6 +168,7 @@ def pack_quantized(
     scale: jnp.ndarray,
     codebook,
     bias: Optional[jnp.ndarray] = None,
+    layout: str = "plane",
 ) -> PackedLinear:
     """Pack a quantizer output into serving format.
 
@@ -145,7 +183,7 @@ def pack_quantized(
     idx = codebook.quantize_index(normalized).astype(jnp.int32)
     lut = jnp.asarray(codebook.values, jnp.float32)
     nbits = bits_for_codebook(int(lut.shape[0]))
-    packed = pack_indices(idx.T, nbits)  # serving layout (K, N)
+    packed = pack_indices(idx.T, nbits, layout=layout)  # serving layout (K, N)
     return PackedLinear(
         packed=packed,
         scale=jnp.asarray(scale, jnp.float32),
@@ -155,4 +193,5 @@ def pack_quantized(
         out_features=out_f,
         nbits=nbits,
         affine=affine_from_lut(lut),
+        layout=layout,
     )

@@ -49,12 +49,12 @@ def _linear_spec(name: str, p) -> Any:
                 packed=P(None, "model"), scale=P("model"), lut=P(),
                 bias=None if p.bias is None else P("model"),
                 in_features=p.in_features, out_features=p.out_features,
-                nbits=p.nbits, affine=p.affine)
+                nbits=p.nbits, affine=p.affine, layout=p.layout)
         return PackedLinear(
             packed=P("model", None), scale=P(), lut=P(),
             bias=None if p.bias is None else P(),
             in_features=p.in_features, out_features=p.out_features,
-            nbits=p.nbits, affine=p.affine)
+            nbits=p.nbits, affine=p.affine, layout=p.layout)
     spec = {}
     if col:
         spec["kernel"] = P(None, "model")

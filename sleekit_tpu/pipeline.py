@@ -48,6 +48,9 @@ class QuantConfig:
 
     nbits: float = 3
     codebook_size: Optional[int] = None  # overrides 2**nbits when set
+    # 'uniform' (ref statistics.py:161), 'nf4' (ref codebook.py:296-320),
+    # or 'lloyd' (per-layer Lloyd-Max-trained codebook, ref codebook.py:338).
+    codebook_kind: str = "uniform"
     scaling_mode: str = "mse"
     order_mode: str = "diag"
     bias_correction: bool = False
@@ -63,9 +66,28 @@ class QuantConfig:
             return self.codebook_size
         return int(round(2 ** self.nbits))
 
-    def make_codebook(self):
-        """Symmetric uniform codebook over [-1, 1] (ref statistics.py:161)."""
-        return UniformCodebook(self.resolved_codebook_size(), -1.0, 1.0)
+    def make_codebook(self, weight=None):
+        """Codebook per ``codebook_kind``.
+
+        'uniform': symmetric over [-1, 1] (ref statistics.py:161).
+        'nf4': the NormalFloat4 table.
+        'lloyd': Lloyd-Max trained on the norm-scaled weights (host-side,
+        requires ``weight``).
+        """
+        if self.codebook_kind == "uniform":
+            return UniformCodebook(self.resolved_codebook_size(), -1.0, 1.0)
+        if self.codebook_kind == "nf4":
+            return Codebook.nf4()
+        if self.codebook_kind == "lloyd":
+            from sleekit_tpu.codebooks import lloyd_max
+            from sleekit_tpu.scaling import compute_norm_scaling
+            assert weight is not None, "lloyd codebook needs the weights"
+            w = jnp.asarray(weight, jnp.float32)
+            sc = compute_norm_scaling(w, 0)
+            return lloyd_max(np.asarray(w / sc[:, None]),
+                             self.resolved_codebook_size(),
+                             sample_count=4096)
+        raise ValueError(f"unknown codebook_kind {self.codebook_kind}")
 
 
 # The three reference presets (ref statistics.py:107-144). Note the heavy
@@ -93,15 +115,18 @@ def quantize_layer(
     hessian: jnp.ndarray,
     mean: jnp.ndarray,
     config: QuantConfig,
+    codebook=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One jitted program for the full per-layer pipeline.
 
     Returns (quantized weight [dequantized f32], bias delta, per-channel
     scale, per-channel error). Flow mirrors ref statistics.py:146-190:
     optional H <- H - mu mu^T, scaling search, scale/solve/rescale, and the
-    post-hoc bias update b += (W - Q) @ mu.
+    post-hoc bias update b += (W - Q) @ mu. ``codebook`` overrides the
+    config-derived codebook (needed for data-trained Lloyd-Max codebooks,
+    which are built host-side).
     """
-    cb = config.make_codebook()
+    cb = codebook if codebook is not None else config.make_codebook()
     W = weight.astype(jnp.float32)
     H = hessian.astype(jnp.float32)
     mean = mean.astype(jnp.float32)
@@ -197,8 +222,14 @@ class LayerQuantizer:
         """Run the pipeline; updates self.weight (dequantized f32, like the
         reference stores back into the torch layer, ref statistics.py:186)
         and self.bias. Returns (Q, scale, per-channel error)."""
+        # Non-uniform codebooks are host-side constructs (table build /
+        # Lloyd-Max training) - create outside jit and pass as a pytree.
+        codebook = None
+        if config.codebook_kind != "uniform":
+            codebook = config.make_codebook(self.weight)
         Q, bias_delta, scale, err = quantize_layer(
-            self.weight, self.stats.hessian, self.stats.mean, config)
+            self.weight, self.stats.hessian, self.stats.mean, config,
+            codebook)
         self.weight = Q
         if config.bias_correction and self.bias is not None:
             self.bias = self.bias + bias_delta

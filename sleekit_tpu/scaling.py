@@ -60,8 +60,12 @@ def compute_non_saturating_scaling(
     """Smallest per-channel scale with no saturation against the codebook
     range (ref scaling.py:44-55). Requires a mixed-sign codebook."""
     mincode, maxcode = codebook.min(), codebook.max()
-    if float(mincode) >= 0 or float(maxcode) <= 0:
-        raise ValueError("Codebook should have both negative and positive values.")
+    try:
+        if float(mincode) >= 0 or float(maxcode) <= 0:
+            raise ValueError(
+                "Codebook should have both negative and positive values.")
+    except jax.errors.ConcretizationTypeError:
+        pass  # traced codebook values (inside jit): skip the host check
     other = tuple(i for i in range(data.ndim) if i != axis)
     mindata = jnp.min(data, axis=other)
     maxdata = jnp.max(data, axis=other)

@@ -30,6 +30,7 @@ def _flatten(tree, path, arrays, spec_out):
             "out_features": tree.out_features,
             "nbits": tree.nbits,
             "affine": list(tree.affine) if tree.affine else None,
+            "layout": tree.layout,
             "packed": _store(arrays, tree.packed),
             "scale": _store(arrays, tree.scale),
             "lut": _store(arrays, tree.lut),
@@ -85,6 +86,7 @@ def _rebuild(desc, tensors):
                 nbits=desc["nbits"],
                 affine=None if desc["affine"] is None
                 else tuple(desc["affine"]),
+                layout=desc.get("layout", "linear"),
             )
         return {k: _rebuild(v, tensors) for k, v in desc.items()}
     if isinstance(desc, list):

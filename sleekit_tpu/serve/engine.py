@@ -97,7 +97,7 @@ class Engine:
 
     def __init__(self, cfg: TransformerConfig, params, max_slots: int = 8,
                  max_seq_len: int = 512, cache_dtype=jnp.float32,
-                 seed: int = 0):
+                 seed: int = 0, fused_steps: int = 8):
         self.cfg = cfg
         self.params = params
         self.max_slots = max_slots
@@ -105,6 +105,10 @@ class Engine:
         self.cache = init_kv_cache(cfg, max_slots, max_seq_len, cache_dtype)
         self.cache_dtype = cache_dtype
         self.key = jax.random.PRNGKey(seed)
+        # When every active slot is greedy with >= fused_steps budget and
+        # the queue is drained, decode fused_steps tokens per host round
+        # trip (lax.scan over decode steps) instead of one.
+        self.fused_steps = fused_steps
 
         self._decode = jax.jit(decode_step, static_argnums=(0,))
         self._prefill = jax.jit(prefill, static_argnums=(0,))
@@ -135,11 +139,46 @@ class Engine:
         submission order."""
         ids = [self.submit(r) for r in requests]
         while self.has_work():
-            self.step()
+            self.step_auto()
         by_id = {c.request_id: c for c in self.finished}
         out = [by_id[i] for i in ids]
         self.finished = [c for c in self.finished if c.request_id not in set(ids)]
         return out
+
+    def step_auto(self) -> None:
+        """One scheduling iteration: fused multi-token decode when
+        eligible, else a single step."""
+        self._admit()
+        active = [i for i, r in enumerate(self.slot_req) if r is not None]
+        if (self.fused_steps > 1 and active and not self.queue
+                and all(self.slot_req[i].temperature == 0 for i in active)):
+            remaining = min(self.slot_req[i].max_new_tokens
+                            - len(self.slot_new[i]) for i in active)
+            k = min(self.fused_steps, remaining)
+            if k > 1:
+                self._step_fused(active, k)
+                return
+        self.step()
+
+    def _step_fused(self, active, k: int) -> None:
+        from sleekit_tpu.models.eval import decode_scan
+
+        last = jnp.asarray(self.slot_last, jnp.int32)
+        pos = jnp.asarray(np.minimum(self.slot_pos, self.max_seq_len - 1),
+                          jnp.int32)
+        toks, self.cache, _, _ = decode_scan(
+            self.cfg, self.params, self.cache, last, pos, k)
+        toks = np.asarray(toks)  # (slots, k)
+        for slot in active:
+            req = self.slot_req[slot]
+            emitted = toks[slot].tolist()
+            if req.eos_id is not None and req.eos_id in emitted:
+                emitted = emitted[: emitted.index(req.eos_id) + 1]
+            self.slot_tokens[slot].extend(emitted)
+            self.slot_new[slot].extend(emitted)
+            self.slot_pos[slot] += len(emitted)
+            self.slot_last[slot] = emitted[-1]
+            self._maybe_finish(slot)
 
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slot_req)

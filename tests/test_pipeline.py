@@ -154,3 +154,37 @@ def test_export_load_roundtrip(tmp_path):
                        np.asarray(lq.stats.hessian), atol=1e-6)
     assert np.allclose(np.asarray(lq2.stats.mean),
                        np.asarray(lq.stats.mean), atol=1e-6)
+
+
+def test_nf4_codebook_pipeline():
+    """NF4 table codebook through the full per-layer pipeline."""
+    rng = np.random.RandomState(7)
+    W = rng.randn(16, 24).astype(np.float32)
+    lq = LayerQuantizer(W, bias=np.zeros(16, np.float32))
+    lq.add_batch(rng.randn(100, 24).astype(np.float32))
+    Q, scale, err = lq.quantize(QuantConfig(codebook_kind="nf4",
+                                            scaling_mode="diag",
+                                            grid_size=15))
+    Q = np.asarray(Q)
+    assert np.isfinite(Q).all()
+    # values lie on the per-channel scaled NF4 grid
+    from sleekit_tpu.codebooks import Codebook
+    import jax.numpy as jnp
+    nf4 = Codebook.nf4()
+    normalized = Q / np.asarray(scale)[:, None]
+    snapped = np.asarray(nf4(jnp.asarray(normalized)))
+    assert np.allclose(normalized, snapped, atol=1e-5)
+
+
+def test_lloyd_codebook_pipeline():
+    """Per-layer Lloyd-Max-trained codebook through the pipeline."""
+    rng = np.random.RandomState(8)
+    W = rng.randn(16, 24).astype(np.float32)
+    lq = LayerQuantizer(W, bias=np.zeros(16, np.float32))
+    lq.add_batch(rng.randn(100, 24).astype(np.float32))
+    Q, scale, err = lq.quantize(QuantConfig(codebook_kind="lloyd", nbits=3,
+                                            scaling_mode="diag",
+                                            grid_size=15))
+    assert np.isfinite(np.asarray(Q)).all()
+    assert len(np.unique(np.round(np.asarray(Q) / np.asarray(scale)[:, None],
+                                  4))) <= 8 * 2  # <= codebook size per sign

@@ -97,3 +97,34 @@ def test_engine_sampled_reproducible(model):
                                temperature=0.9)])
         outs.append(c.tokens)
     assert np.array_equal(outs[0], outs[1])
+
+
+def test_engine_fused_decode_matches_single_step(model):
+    """fused_steps>1 takes the multi-token scan path; output must equal
+    the single-step engine exactly."""
+    cfg, params = model
+    rng = np.random.RandomState(7)
+    reqs = lambda: [Request(prompt=rng2.randint(0, cfg.vocab_size, (n,))
+                            .astype(np.int32), max_new_tokens=m)
+                    for rng2, (n, m) in
+                    [(np.random.RandomState(7), (5, 9)),
+                     (np.random.RandomState(8), (12, 7))]]
+    eng_f = Engine(cfg, params, max_slots=2, max_seq_len=64, fused_steps=4)
+    comps_f = eng_f.run(reqs())
+    eng_s = Engine(cfg, params, max_slots=2, max_seq_len=64, fused_steps=1)
+    comps_s = eng_s.run(reqs())
+    for a, b in zip(comps_f, comps_s):
+        assert np.array_equal(a.tokens, b.tokens)
+
+
+def test_engine_fused_eos_truncation(model):
+    cfg, params = model
+    rng = np.random.RandomState(9)
+    prompt = rng.randint(0, cfg.vocab_size, (5,)).astype(np.int32)
+    probe = np.asarray(generate(cfg, params, jnp.asarray(prompt[None, :]), 3))[0]
+    eos = int(probe[-2])  # appears mid-stream
+    eng = Engine(cfg, params, max_slots=1, max_seq_len=64, fused_steps=8)
+    [comp] = eng.run([Request(prompt=prompt, max_new_tokens=10, eos_id=eos)])
+    assert comp.finish_reason == "eos"
+    assert comp.new_tokens[-1] == eos
+    assert eos not in comp.new_tokens[:-1]
