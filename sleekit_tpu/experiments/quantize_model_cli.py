@@ -1,0 +1,101 @@
+"""End-user CLI: quantize a whole model to a packed serving checkpoint.
+
+  python -m sleekit_tpu.experiments.quantize_model_cli out_ckpt/ \
+      --model opt-125m [--checkpoint /path/to/hf] [--preset light] \
+      [--nbits 4] [--tokens tokens.npy] [--samples 16] [--pack/--no-pack]
+
+Covers the whole production flow the reference outsources: calibrate,
+quantize every linear with the chosen preset, report per-layer errors and
+wall clock, optionally evaluate perplexity before/after, and save the
+packed checkpoint for the serving engine.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Quantize a model to a packed serving checkpoint")
+    parser.add_argument("out", type=str)
+    parser.add_argument("--model", type=str, default="tiny")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="HF checkpoint dir (default: random init)")
+    parser.add_argument("--preset", type=str, default="light",
+                        choices=["basic", "light", "heavy"])
+    parser.add_argument("--nbits", type=float, default=4)
+    parser.add_argument("--codebook", type=str, default="uniform",
+                        choices=["uniform", "nf4", "lloyd"])
+    parser.add_argument("--grid-size", type=int, default=100)
+    parser.add_argument("--tokens", type=str, default=None,
+                        help=".npy int32 calibration token stream")
+    parser.add_argument("--samples", type=int, default=16)
+    parser.add_argument("--seq-len", type=int, default=256)
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--eval-ppl", action="store_true",
+                        help="Report perplexity before/after on held-out tokens")
+    parser.add_argument("--no-pack", dest="pack", action="store_false")
+    args = parser.parse_args(argv)
+
+    import jax
+    from sleekit_tpu.models.zoo import get_config
+    from sleekit_tpu.models.transformer import init_params
+    from sleekit_tpu.models.quantize import calibrate, quantize_model
+    from sleekit_tpu.models.eval import chunk_tokens, perplexity
+    from sleekit_tpu.pipeline import preset_config
+    from sleekit_tpu.serve.checkpoint import save_packed_params
+    from sleekit_tpu.utils.profiling import Timer
+
+    cfg = get_config(args.model)
+    if args.checkpoint:
+        from sleekit_tpu.models.hf import load_hf_checkpoint
+        params = load_hf_checkpoint(cfg, args.model, args.checkpoint)
+    else:
+        params = init_params(cfg, jax.random.PRNGKey(args.seed))
+
+    rng = np.random.RandomState(args.seed)
+    if args.tokens:
+        stream = np.load(args.tokens).astype(np.int32)
+    else:
+        stream = rng.randint(0, cfg.vocab_size,
+                             (args.samples * args.seq_len + 4096,)).astype(np.int32)
+    calib_tokens = stream[: args.samples * args.seq_len].reshape(
+        args.samples, args.seq_len)
+    batches = [calib_tokens[i:i + args.batch]
+               for i in range(0, len(calib_tokens), args.batch)]
+
+    qconfig = preset_config(args.preset, nbits=args.nbits,
+                            codebook_kind=args.codebook,
+                            grid_size=args.grid_size)
+    timer = Timer()
+    with timer.section("calibrate"):
+        stats = calibrate(cfg, params, batches)
+        jax.block_until_ready(stats)
+    with timer.section("quantize"):
+        qparams, reports = quantize_model(cfg, params, stats, qconfig,
+                                          pack=args.pack, verbose=True)
+    with timer.section("save"):
+        save_packed_params(args.out, qparams, meta={
+            "model": args.model, "preset": args.preset,
+            "nbits": args.nbits, "codebook": args.codebook})
+
+    total_err = sum(r.error for r in reports)
+    print(f"\n{len(reports)} layers quantized; total layer error "
+          f"{total_err:.6g}")
+    if args.eval_ppl:
+        held = stream[args.samples * args.seq_len:]
+        ev = list(chunk_tokens(held, args.seq_len, args.batch))
+        with timer.section("eval_ppl"):
+            ppl_ref = perplexity(cfg, params, ev)
+            ppl_q = perplexity(cfg, qparams, ev)
+        print(f"perplexity: fp32 {ppl_ref:.4f} -> quantized {ppl_q:.4f} "
+              f"(delta {ppl_q - ppl_ref:+.4f})")
+    print(timer.dump())
+    print(f"checkpoint -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Serve a packed checkpoint: batch generation through the engine.
+
+  python -m sleekit_tpu.experiments.serve_cli ckpt/ --model opt-125m \
+      --prompts prompts.npy --max-new-tokens 32 [--temperature 0.7]
+
+Prompts: .npy object/int32 array of token id sequences, or (with
+--random N) N random prompts for smoke/throughput runs. Prints one line
+per completion plus aggregate tokens/s.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Serve a packed checkpoint")
+    parser.add_argument("ckpt", type=str)
+    parser.add_argument("--model", type=str, default="tiny")
+    parser.add_argument("--prompts", type=str, default=None,
+                        help=".npy array of int32 token prompts")
+    parser.add_argument("--random", type=int, default=0,
+                        help="Generate N random prompts instead")
+    parser.add_argument("--prompt-len", type=int, default=16)
+    parser.add_argument("--max-new-tokens", type=int, default=32)
+    parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--slots", type=int, default=8)
+    parser.add_argument("--max-seq-len", type=int, default=512)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    from sleekit_tpu.models.zoo import get_config
+    from sleekit_tpu.serve.checkpoint import load_packed_params
+    from sleekit_tpu.serve.engine import Engine, Request
+
+    cfg = get_config(args.model)
+    params, meta = load_packed_params(args.ckpt)
+    print(f"loaded {args.ckpt} (meta: {meta})")
+
+    rng = np.random.RandomState(args.seed)
+    if args.prompts:
+        arr = np.load(args.prompts, allow_pickle=True)
+        prompts = [np.asarray(p, np.int32) for p in arr]
+    else:
+        n = args.random or 4
+        prompts = [rng.randint(0, cfg.vocab_size,
+                               (args.prompt_len,)).astype(np.int32)
+                   for _ in range(n)]
+
+    engine = Engine(cfg, params, max_slots=args.slots,
+                    max_seq_len=args.max_seq_len, seed=args.seed)
+    reqs = [Request(prompt=p, max_new_tokens=args.max_new_tokens,
+                    temperature=args.temperature) for p in prompts]
+    t0 = time.time()
+    comps = engine.run(reqs)
+    dt = time.time() - t0
+    new_tokens = sum(len(c.new_tokens) for c in comps)
+    for c in comps:
+        print(f"[{c.request_id}] +{len(c.new_tokens)} tokens "
+              f"({c.finish_reason}): {c.new_tokens.tolist()}")
+    print(f"{new_tokens} tokens in {dt:.2f}s = {new_tokens / dt:.1f} tokens/s")
+
+
+if __name__ == "__main__":
+    main()
