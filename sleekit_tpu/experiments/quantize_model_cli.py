@@ -30,7 +30,8 @@ def main(argv=None):
                         choices=["uniform", "nf4", "lloyd"])
     parser.add_argument("--grid-size", type=int, default=100)
     parser.add_argument("--tokens", type=str, default=None,
-                        help=".npy int32 calibration token stream")
+                        help=".npy int32 token stream, or 'wikitext2' "
+                             "(needs HF datasets+tokenizer); default synthetic")
     parser.add_argument("--samples", type=int, default=16)
     parser.add_argument("--seq-len", type=int, default=256)
     parser.add_argument("--batch", type=int, default=2)
@@ -56,16 +57,14 @@ def main(argv=None):
     else:
         params = init_params(cfg, jax.random.PRNGKey(args.seed))
 
-    rng = np.random.RandomState(args.seed)
-    if args.tokens:
-        stream = np.load(args.tokens).astype(np.int32)
-    else:
-        stream = rng.randint(0, cfg.vocab_size,
-                             (args.samples * args.seq_len + 4096,)).astype(np.int32)
-    calib_tokens = stream[: args.samples * args.seq_len].reshape(
-        args.samples, args.seq_len)
-    batches = [calib_tokens[i:i + args.batch]
-               for i in range(0, len(calib_tokens), args.batch)]
+    from sleekit_tpu.models.data import calibration_batches, load_token_stream
+
+    need = args.samples * args.seq_len + 4096
+    stream, provenance = load_token_stream(
+        args.tokens, cfg.vocab_size, need, seed=args.seed)
+    print(f"calibration tokens: {provenance}")
+    batches = calibration_batches(stream, args.samples, args.seq_len,
+                                  args.batch)
 
     qconfig = preset_config(args.preset, nbits=args.nbits,
                             codebook_kind=args.codebook,

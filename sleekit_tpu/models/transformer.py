@@ -228,18 +228,25 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _attention(cfg: TransformerConfig, q, k, v, bias):
-    """q: (B, T, H, hd); k, v: (B, S, KV, hd); bias: (1|B, H, T, S)."""
+    """q: (B, T, H, hd); k, v: (B, S, KV, hd); bias: (1|B, H, T, S).
+
+    The QK^T and PV contractions run at the input dtype (bf16 on the
+    serving path - 4x MXU rate vs f32) with f32 accumulation; mask-add
+    and softmax always run in f32.
+    """
     kv = cfg.kv_heads
     groups = cfg.n_heads // kv
     if groups > 1:
         k = jnp.repeat(k, groups, axis=2)
         v = jnp.repeat(v, groups, axis=2)
     scale = 1.0 / math.sqrt(cfg.head_dim)
-    logits = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
-                        k.astype(jnp.float32)) * scale
+    logits = jnp.einsum("bthd,bshd->bhts", q, k.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
     logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("bhts,bshd->bthd", probs.astype(q.dtype),
+                     v.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 

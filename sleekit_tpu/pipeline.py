@@ -192,16 +192,29 @@ class LayerQuantizer:
 
     # ---- artifact I/O (reference-compatible layout) -------------------
 
-    def export(self, path: str) -> None:
-        """Dump weight/hessian/mean/bias as .npy, same files and layout as
-        the reference export (ref statistics.py:89-105)."""
+    def export(self, path: str, npy_format: bool = True) -> None:
+        """Dump weight/hessian/mean/bias artifacts, same files and layout
+        as the reference export (ref statistics.py:89-105). ``npy_format``
+        False writes torch ``.pt`` files instead (requires torch), for
+        byte-compatibility with reference-side consumers."""
         os.makedirs(path, exist_ok=True)
-        np.save(os.path.join(path, "weight.npy"),
-                np.asarray(self.weight, np.float32).reshape(self.weight_shape))
-        np.save(os.path.join(path, "hessian.npy"), np.asarray(self.stats.hessian))
-        np.save(os.path.join(path, "mean.npy"), np.asarray(self.stats.mean))
+        arrays = {
+            "weight": np.asarray(self.weight, np.float32).reshape(
+                self.weight_shape),
+            "hessian": np.asarray(self.stats.hessian),
+            "mean": np.asarray(self.stats.mean),
+        }
         if self.bias is not None:
-            np.save(os.path.join(path, "bias.npy"), np.asarray(self.bias))
+            arrays["bias"] = np.asarray(self.bias)
+        if npy_format:
+            for name, arr in arrays.items():
+                np.save(os.path.join(path, f"{name}.npy"), arr)
+        else:
+            import torch
+
+            for name, arr in arrays.items():
+                torch.save(torch.from_numpy(np.ascontiguousarray(arr)),
+                           os.path.join(path, f"{name}.pt"))
 
     @classmethod
     def load(cls, path: str) -> "LayerQuantizer":

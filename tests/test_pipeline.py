@@ -188,3 +188,17 @@ def test_lloyd_codebook_pipeline():
     assert np.isfinite(np.asarray(Q)).all()
     assert len(np.unique(np.round(np.asarray(Q) / np.asarray(scale)[:, None],
                                   4))) <= 8 * 2  # <= codebook size per sign
+
+
+def test_export_pt_format(tmp_path):
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(9)
+    W = rng.randn(4, 6).astype(np.float32)
+    lq = LayerQuantizer(W, bias=np.zeros(4, np.float32))
+    lq.add_batch(rng.randn(20, 6).astype(np.float32))
+    path = str(tmp_path / "pt_layer")
+    lq.export(path, npy_format=False)
+    import os
+    assert os.path.exists(os.path.join(path, "weight.pt"))
+    w = torch.load(os.path.join(path, "weight.pt"), weights_only=True)
+    assert np.allclose(w.numpy(), W)
