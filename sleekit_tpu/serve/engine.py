@@ -186,32 +186,56 @@ class Engine:
     # ---- internals ----------------------------------------------------
 
     def _admit(self) -> None:
-        for slot in range(self.max_slots):
-            if self.slot_req[slot] is not None or not self.queue:
-                continue
-            req = self.queue.pop(0)
-            prompt = np.asarray(req.prompt, np.int32)
-            t = len(prompt)
-            bucket = min(_bucket(t), self.max_seq_len)
-            padded = np.zeros((1, bucket), np.int32)
-            padded[0, :t] = prompt
-            tmp_cache = init_kv_cache(self.cfg, 1, bucket, self.cache_dtype)
+        """Admit queued requests into free slots, batching the prefill:
+        one device program per (padded-count, length-bucket) group instead
+        of one per request."""
+        free = [i for i in range(self.max_slots) if self.slot_req[i] is None]
+        take = min(len(free), len(self.queue))
+        if not take:
+            return
+        admitted = [(free[i], self.queue.pop(0)) for i in range(take)]
+        groups: Dict[int, list] = {}
+        for slot, req in admitted:
+            bucket = min(_bucket(len(req.prompt)), self.max_seq_len)
+            groups.setdefault(bucket, []).append((slot, req))
+
+        for bucket, items in groups.items():
+            rows = _bucket(len(items), lo=1)  # pad count to a power of two
+            padded = np.zeros((rows, bucket), np.int32)
+            lengths = []
+            for r, (slot, req) in enumerate(items):
+                prompt = np.asarray(req.prompt, np.int32)
+                padded[r, :len(prompt)] = prompt
+                lengths.append(len(prompt))
+            tmp_cache = init_kv_cache(self.cfg, rows, bucket, self.cache_dtype)
             logits, tmp_cache = self._prefill(
                 self.cfg, self.params, jnp.asarray(padded), tmp_cache)
-            self.cache = _splice_cache(self.cfg, tmp_cache, self.cache,
-                                       jnp.int32(slot))
             # First generated token comes from the last REAL prompt position.
-            last_logits = logits[0, t - 1]
+            last_logits = jnp.stack(
+                [logits[r, lengths[r] - 1] for r in range(len(items))])
+            temps = jnp.asarray([req.temperature for _, req in items],
+                                jnp.float32)
             self.key, sub = jax.random.split(self.key)
-            nxt = int(_sample(last_logits[None, :],
-                              jnp.asarray([req.temperature], jnp.float32),
-                              sub)[0])
-            self.slot_req[slot] = req
-            self.slot_tokens[slot] = prompt.tolist() + [nxt]
-            self.slot_new[slot] = [nxt]
-            self.slot_pos[slot] = t
-            self.slot_last[slot] = nxt
-            self._maybe_finish(slot)
+            firsts = np.asarray(_sample(last_logits, temps, sub))
+            for r, (slot, req) in enumerate(items):
+                # Batch axis is 1 in the stacked scan layout ((L, B, ...)),
+                # 0 in the per-layer list layout.
+                if self.cfg.scan_layers:
+                    row_cache = jax.tree_util.tree_map(
+                        lambda x, r=r: x[:, r:r + 1], tmp_cache)
+                else:
+                    row_cache = jax.tree_util.tree_map(
+                        lambda x, r=r: x[r:r + 1], tmp_cache)
+                self.cache = _splice_cache(self.cfg, row_cache, self.cache,
+                                           jnp.int32(slot))
+                nxt = int(firsts[r])
+                prompt = np.asarray(req.prompt, np.int32)
+                self.slot_req[slot] = req
+                self.slot_tokens[slot] = prompt.tolist() + [nxt]
+                self.slot_new[slot] = [nxt]
+                self.slot_pos[slot] = len(prompt)
+                self.slot_last[slot] = nxt
+                self._maybe_finish(slot)
 
     def _maybe_finish(self, slot: int) -> None:
         req = self.slot_req[slot]
