@@ -1,0 +1,79 @@
+"""Quality regression guards on a fixed synthetic workload.
+
+The reference's published numbers (BASELINE.md) are geomean per-layer
+error improvements vs standard GPTQ; these tests pin the same direction
+and a conservative magnitude on a deterministic synthetic layer so a
+regression in any pipeline component trips loudly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sleekit_tpu.codebooks import UniformCodebook
+from sleekit_tpu.hessian import remove_input_bias
+from sleekit_tpu.models.quantize import calibrate, quantize_model
+from sleekit_tpu.models.transformer import forward, init_params
+from sleekit_tpu.models.zoo import tiny_test
+from sleekit_tpu.pipeline import QuantConfig
+from sleekit_tpu.scaling import (
+    compute_min_mse_scaling, compute_obq_scaling, quantize_with_scaling)
+from sleekit_tpu.solver import quantization_error
+import jax
+
+
+@pytest.fixture(scope="module")
+def workload():
+    rng = np.random.RandomState(0)
+    n_in, n_out = 128, 96
+    W = jnp.asarray(rng.randn(n_out, n_in).astype(np.float32))
+    mix = (rng.randn(n_in, n_in) * 0.2 + np.eye(n_in)).astype(np.float32)
+    X = (rng.randn(2000, n_in).astype(np.float32) @ mix) + 0.5
+    H = jnp.asarray(X.T @ X / len(X))
+    mean = jnp.asarray(X.mean(axis=0))
+    return W, H, mean
+
+
+def test_sleekit_improvements_vs_standard_gptq(workload):
+    """The compare.py pipelines on a fixed workload: light and heavy must
+    beat standard GPTQ by conservative margins (reference reports -25%
+    and -35% at 3-bit on real layers; we require -3%/-10% on synthetic
+    Gaussian weights, a much harder case for these tricks)."""
+    W, H, mean = workload
+    Hc = remove_input_bias(H, mean)
+    cb = UniformCodebook(8, -1.0, 1.0)
+
+    sc = compute_min_mse_scaling(W, cb)
+    std = quantize_with_scaling(W, sc, cb, H=H, act_order="diag", damp=0.01)
+    e_std = float(quantization_error(W, std, H))
+
+    sc = compute_min_mse_scaling(W, cb, H=jnp.diagonal(Hc))
+    light = quantize_with_scaling(W, sc, cb, H=Hc, act_order="sqerr", damp=0.03)
+    e_light = float(quantization_error(W, light, Hc))
+
+    sc = compute_obq_scaling(W, cb, 0, H=Hc, act_order="sqerr", damp=0.03)
+    heavy = quantize_with_scaling(W, sc, cb, H=Hc, act_order="sqerr",
+                                  damp=0.03, nb_ls_moves=100)
+    e_heavy = float(quantization_error(W, heavy, Hc))
+
+    assert e_light < e_std * 0.97, (e_std, e_light)
+    assert e_heavy < e_std * 0.90, (e_std, e_heavy)
+    assert e_heavy < e_light
+
+
+def test_packed_serving_is_lossless():
+    """Packing is a storage change, not a numerics change: forward with
+    packed params == forward with dense dequantized params, bit-for-bit
+    in f32."""
+    cfg = tiny_test(n_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    batches = [rng.randint(0, cfg.vocab_size, (2, 16)).astype(np.int32)]
+    stats = calibrate(cfg, params, batches)
+    qcfg = QuantConfig(nbits=4, scaling_mode="diag", grid_size=15)
+    dense_q, _ = quantize_model(cfg, params, stats, qcfg, pack=False)
+    packed_q, _ = quantize_model(cfg, params, stats, qcfg, pack=True)
+    tokens = jnp.asarray(rng.randint(0, cfg.vocab_size, (1, 10)).astype(np.int32))
+    a = np.asarray(forward(cfg, dense_q, tokens))
+    b = np.asarray(forward(cfg, packed_q, tokens))
+    assert np.allclose(a, b, rtol=1e-5, atol=1e-5), np.abs(a - b).max()
