@@ -19,7 +19,6 @@ reference formulas):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Sequence
 
 import jax

@@ -3,8 +3,6 @@ experiments/bits.py:40-120, same codebook-size ladder)."""
 
 import argparse
 
-import jax.numpy as jnp
-
 from sleekit_tpu.codebooks import UniformCodebook
 from sleekit_tpu.experiments.common import add_common_args, corrected, iter_layers
 from sleekit_tpu.scaling import compute_scaling, quantize_with_scaling

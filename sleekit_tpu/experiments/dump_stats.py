@@ -17,7 +17,6 @@ import os
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 def main(argv=None):

@@ -10,7 +10,7 @@ all-reduce over ``model`` (Megatron-style column/row split pairs).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

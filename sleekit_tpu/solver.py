@@ -20,9 +20,6 @@ q = quantize(w_i), err = (w_i - q) / Hinv[i, i], trailing columns get
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax
