@@ -1,0 +1,210 @@
+"""Decompose per-step decode cost on the current backend.
+
+Times fused K-step loops of progressively stripped decode variants so the
+per-step cost splits into weights / attention+KV / embed+unembed parts.
+This is the measurement harness behind the serving-kernel optimization
+journal (BENCH_NOTES.md); no reference analogue exists (the reference
+never runs a model forward, SURVEY.md §5.7).
+
+Usage:
+  python -m sleekit_tpu.experiments.profile_decode [--model opt-1.3b]
+      [--batch 8] [--steps 64] [--ctx 256] [--nbits 4] [--dense]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="opt-1.3b")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--ctx", type=int, default=256)
+    ap.add_argument("--nbits", type=int, default=4)
+    ap.add_argument("--dense", action="store_true",
+                    help="profile the bf16 dense path instead of packed")
+    ap.add_argument("--variants", default="full,no_unembed,linears_only,attn_only")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_root = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(cache_root, jax.default_backend()))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    from sleekit_tpu.codebooks import UniformCodebook
+    from sleekit_tpu.models.eval import decode_scan
+    from sleekit_tpu.models.fake_quant import random_packed_params
+    from sleekit_tpu.models.transformer import (
+        _attention, _causal_bias, _embed, _unembed, apply_linear, apply_norm,
+        init_kv_cache, init_params, stack_layer_params)
+    from sleekit_tpu.models.zoo import get_config
+
+    cfg = get_config(args.model, dtype=jnp.bfloat16, scan_layers=True)
+    key = jax.random.PRNGKey(0)
+    if args.dense:
+        params = stack_layer_params(init_params(cfg, key))
+        tag = "bf16 dense"
+    else:
+        params, _ = random_packed_params(
+            cfg, key, UniformCodebook(2 ** args.nbits, -1.0, 1.0))
+        tag = f"int{args.nbits} packed"
+    b, steps, ctx = args.batch, args.steps, args.ctx
+    log(f"profile: {args.model} {tag} batch={b} steps={steps} ctx={ctx} "
+        f"on {jax.devices()[0].platform}")
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    sync(tiny(jnp.ones((8, 8))))
+    t0 = time.time()
+    for _ in range(5):
+        sync(tiny(jnp.ones((8, 8))))
+    overhead = (time.time() - t0) / 5
+    log(f"  host round-trip overhead: {overhead * 1e3:.1f} ms")
+
+    def timed(fn, *fn_args, tag=""):
+        t0 = time.time()
+        out = fn(*fn_args)
+        sync(out)
+        log(f"  {tag}: compile+first {time.time() - t0:.1f}s")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(*fn_args)
+            sync(out)
+            best = min(best, time.time() - t0 - overhead)
+        ms = best / steps * 1e3
+        log(f"  {tag}: {ms:.3f} ms/step")
+        return ms
+
+    results = {}
+    variants = args.variants.split(",")
+
+    # --- full decode (the bench path) ---------------------------------
+    if "full" in variants:
+        def run_full():
+            cache = init_kv_cache(cfg, b, ctx, dtype=jnp.bfloat16)
+            toks, *_ = decode_scan(cfg, params, cache,
+                                   jnp.zeros((b,), jnp.int32),
+                                   jnp.int32(0), steps)
+            return toks
+        results["full"] = timed(run_full, tag="full decode")
+
+    # --- full minus the unembed matmul ---------------------------------
+    if "no_unembed" in variants:
+        from sleekit_tpu.models.transformer import _run_layers_cached
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run_no_unembed(params, cache):
+            def body(carry, _):
+                last, cache, pos = carry
+                positions = pos[None].repeat(b)[:, None]
+                x = _embed(cfg, params, last[:, None], positions)
+                x, cache = _run_layers_cached(cfg, params, x, positions,
+                                              cache, pos)
+                nxt = (last + 1) % cfg.vocab_size
+                return (nxt, cache, pos + 1), jnp.sum(x.astype(jnp.float32))
+            (_, cache, _), outs = jax.lax.scan(
+                body, (jnp.zeros((b,), jnp.int32), cache, jnp.int32(0)),
+                None, length=steps)
+            return outs
+
+        def go():
+            cache = init_kv_cache(cfg, b, ctx, dtype=jnp.bfloat16)
+            return run_no_unembed(params, cache)
+        results["no_unembed"] = timed(go, tag="no unembed")
+
+    # --- only the six linears per layer (weights streaming) -----------
+    if "linears_only" in variants:
+        @jax.jit
+        def run_linears(params):
+            x0 = jnp.ones((b, 1, cfg.d_model), cfg.dtype)
+
+            def step_body(x, _):
+                def layer_body(x, layer):
+                    a = layer["attn"]
+                    m = layer["mlp"]
+                    h = apply_linear(a["q"], x)
+                    h = h + apply_linear(a["k"], x).mean() \
+                        + apply_linear(a["v"], x).mean()
+                    h = apply_linear(a["o"], h)
+                    g = apply_linear(m["fc1"], h)
+                    h = apply_linear(m["fc2"], g)
+                    return x + 1e-6 * h, None
+                x, _ = jax.lax.scan(layer_body, x, params["layers"])
+                return x, jnp.sum(x.astype(jnp.float32))
+            _, outs = jax.lax.scan(step_body, x0, None, length=steps)
+            return outs
+        results["linears_only"] = timed(run_linears, params,
+                                        tag="linears only")
+
+    # --- only attention + KV-cache traffic ----------------------------
+    if "attn_only" in variants:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_attn(cache):
+            hd, kv = cfg.head_dim, cfg.kv_heads
+            x0 = jnp.ones((b, 1, cfg.d_model), cfg.dtype)
+
+            def step_body(carry, _):
+                cache, pos = carry
+                positions = pos[None].repeat(b)[:, None]
+
+                def layer_body(x, kv_in):
+                    ck, cv = kv_in
+                    q = x.reshape(b, 1, cfg.n_heads, hd)
+                    k = x[..., : kv * hd].reshape(b, 1, kv, hd)
+                    v = k
+                    rows = jnp.arange(b)
+                    ck = ck.at[rows, positions[:, -1]].set(
+                        k[:, 0].astype(ck.dtype))
+                    cv = cv.at[rows, positions[:, -1]].set(
+                        v[:, 0].astype(cv.dtype))
+                    s = ck.shape[1]
+                    k_pos = jnp.arange(s)
+                    bias = _causal_bias(cfg, positions,
+                                        jnp.broadcast_to(k_pos, (b, s)))
+                    attn = _attention(cfg, q, ck, cv, bias)
+                    return x + attn.reshape(b, 1, cfg.d_model), (ck, cv)
+
+                x, (ks, vs) = jax.lax.scan(
+                    layer_body, x0, (cache["k"], cache["v"]))
+                return ({"k": ks, "v": vs}, pos + 1), jnp.sum(
+                    x.astype(jnp.float32))
+            (cache, _), outs = jax.lax.scan(
+                step_body, (cache, jnp.int32(0)), None, length=steps)
+            return outs
+
+        def go_attn():
+            cache = init_kv_cache(cfg, b, ctx, dtype=jnp.bfloat16)
+            return run_attn(cache)
+        results["attn_only"] = timed(go_attn, tag="attn+kv only")
+
+    log("")
+    for k, v in results.items():
+        log(f"  {k:>14}: {v:7.3f} ms/step")
+    if "full" in results and "no_unembed" in results:
+        log(f"  {'unembed':>14}: {results['full'] - results['no_unembed']:7.3f} ms/step (derived)")
+    if {"no_unembed", "linears_only", "attn_only"} <= results.keys():
+        other = (results["no_unembed"] - results["linears_only"]
+                 - results["attn_only"])
+        log(f"  {'residual':>14}: {other:7.3f} ms/step (norms/embed/overheads)")
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

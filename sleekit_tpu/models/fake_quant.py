@@ -39,9 +39,10 @@ def random_packed_linear(key, in_features: int, out_features: int,
 
 
 def random_packed_params(cfg: TransformerConfig, key,
-                         codebook=None):
+                         codebook=None, fuse_qkv: bool = False):
     """Dense random params with every linear swapped for a random packed
-    one. Returns (params, codebook)."""
+    one. Returns (params, codebook). ``fuse_qkv`` applies the serving-time
+    q|k|v (and gate|up) fusion before stacking."""
     codebook = codebook or UniformCodebook(16, -1.0, 1.0)
     params = init_params(cfg, key)
     for name in layer_names(cfg):
@@ -50,6 +51,9 @@ def random_packed_params(cfg: TransformerConfig, key,
         key, sub = jax.random.split(key)
         set_linear_param(params, name, random_packed_linear(
             sub, kern.shape[0], kern.shape[1], codebook))
+    if fuse_qkv:
+        from sleekit_tpu.models.transformer import fuse_qkv_params
+        params = fuse_qkv_params(cfg, params)
     if cfg.scan_layers:
         from sleekit_tpu.models.transformer import stack_layer_params
         params = stack_layer_params(params)

@@ -228,23 +228,25 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _attention(cfg: TransformerConfig, q, k, v, bias):
-    """q: (B, T, H, hd); k, v: (B, S, KV, hd); bias: (1|B, H, T, S).
+    """q: (B, T, H, hd); k, v: (B, KV, S, hd); bias: (1|B, H, T, S).
 
-    The QK^T and PV contractions run at the input dtype (bf16 on the
-    serving path - 4x MXU rate vs f32) with f32 accumulation; mask-add
-    and softmax always run in f32.
+    Used on the compute-bound full-sequence / prefill paths (the
+    bandwidth-bound single-token decode path uses the fused Pallas kernel
+    in ops/attention.py instead). The QK^T and PV contractions run at the
+    input dtype (bf16 on the serving path - 4x MXU rate vs f32) with f32
+    accumulation; mask-add and softmax always run in f32.
     """
     kv = cfg.kv_heads
     groups = cfg.n_heads // kv
     if groups > 1:
-        k = jnp.repeat(k, groups, axis=2)
-        v = jnp.repeat(v, groups, axis=2)
+        k = jnp.repeat(k, groups, axis=1)
+        v = jnp.repeat(v, groups, axis=1)
     scale = 1.0 / math.sqrt(cfg.head_dim)
-    logits = jnp.einsum("bthd,bshd->bhts", q, k.astype(q.dtype),
+    logits = jnp.einsum("bthd,bhsd->bhts", q, k.astype(q.dtype),
                         preferred_element_type=jnp.float32) * scale
     logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs.astype(q.dtype),
+    out = jnp.einsum("bhts,bhsd->bthd", probs.astype(q.dtype),
                      v.astype(q.dtype),
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
@@ -310,8 +312,15 @@ def get_linear_param(params, name: str):
 
 
 def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
-    """One transformer block. ``kv_write`` is None for full-sequence
-    forward, or (cache_k, cache_v, write_pos) for cached decode.
+    """One transformer block.
+
+    ``kv_write`` selects the attention path:
+      * None - full-sequence forward (no cache);
+      * (cache_k, cache_v, write_pos) with per-layer (B, KV, S, D) caches
+        and a scalar start position - prefill (contiguous DUS write);
+      * (cache_k, cache_v, pos, lidx) with FULL (L, B, KV, S, D) caches,
+        per-row positions (B,) and a layer index - single-token decode via
+        the fused in-place Pallas kernels (ops/attention.py).
     Returns (x, new kv pair or None, stats)."""
 
     def lin(name, p, h):
@@ -325,10 +334,19 @@ def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
         return apply_linear(p, h)
 
     b, t, d = x.shape
+    kv_dim = cfg.kv_heads * cfg.head_dim
     h_attn_in = apply_norm(cfg, layer["ln1"], x) if cfg.pre_norm else x
-    q = lin("q", layer["attn"]["q"], h_attn_in)
-    k = lin("k", layer["attn"]["k"], h_attn_in)
-    v = lin("v", layer["attn"]["v"], h_attn_in)
+    if "qkv" in layer["attn"]:
+        # Serving-time fused projection (fuse_qkv_params): one matmul,
+        # one HBM weight stream instead of three.
+        qkv = apply_linear(layer["attn"]["qkv"], h_attn_in)
+        q = qkv[..., :d]
+        k = qkv[..., d:d + kv_dim]
+        v = qkv[..., d + kv_dim:]
+    else:
+        q = lin("q", layer["attn"]["q"], h_attn_in)
+        k = lin("k", layer["attn"]["k"], h_attn_in)
+        v = lin("v", layer["attn"]["v"], h_attn_in)
     q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
     k = k.reshape(b, t, cfg.kv_heads, cfg.head_dim)
     v = v.reshape(b, t, cfg.kv_heads, cfg.head_dim)
@@ -340,23 +358,31 @@ def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
 
     if kv_write is None:
         bias = _causal_bias(cfg, positions, positions)
-        attn = _attention(cfg, q, k, v, bias)
+        attn = _attention(cfg, q, k.transpose(0, 2, 1, 3),
+                          v.transpose(0, 2, 1, 3), bias)
+    elif len(kv_write) == 4:
+        # Single-token decode against the FULL cache: in-place KV append +
+        # flash attention, zero cache copies (ops/attention.py).
+        from sleekit_tpu.ops.attention import decode_attention
+
+        cache_k, cache_v, pos_vec, lidx = kv_write
+        slopes = (jnp.asarray(alibi_slopes(cfg.n_heads))
+                  if cfg.positional == "alibi" else None)
+        out, cache_k, cache_v = decode_attention(
+            q[:, 0], k[:, 0], v[:, 0], cache_k, cache_v, pos_vec, lidx,
+            scale=1.0 / math.sqrt(cfg.head_dim), alibi_slopes=slopes)
+        attn = out[:, None]
+        kv_write = (cache_k, cache_v)
     else:
+        # Prefill: contiguous slice write from a uniform start position.
         cache_k, cache_v, write_pos = kv_write
-        if jnp.ndim(write_pos) == 0:
-            # Uniform start (prefill): one contiguous slice write.
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, write_pos, 0, 0))
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, write_pos, 0, 0))
-        else:
-            # Ragged per-slot positions (continuous-batching decode, T=1).
-            rows = jnp.arange(b)
-            cache_k = cache_k.at[rows, write_pos].set(
-                k[:, 0].astype(cache_k.dtype))
-            cache_v = cache_v.at[rows, write_pos].set(
-                v[:, 0].astype(cache_v.dtype))
-        s = cache_k.shape[1]
+        kt = k.transpose(0, 2, 1, 3)                       # (B, KV, T, D)
+        vt = v.transpose(0, 2, 1, 3)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, kt.astype(cache_k.dtype), (0, 0, write_pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, vt.astype(cache_v.dtype), (0, 0, write_pos, 0))
+        s = cache_k.shape[2]
         k_pos = jnp.arange(s)
         valid = k_pos[None, :] <= positions[:, -1:]  # (B, S)
         bias = _causal_bias(cfg, positions, jnp.broadcast_to(k_pos, (b, s)))
@@ -372,8 +398,12 @@ def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
 
     h = apply_norm(cfg, layer["ln2"], x) if cfg.pre_norm else x
     if cfg.activation == "silu_glu":
-        gate = lin("gate", layer["mlp"]["gate"], h)
-        up = lin("up", layer["mlp"]["up"], h)
+        if "gate_up" in layer["mlp"]:
+            gu = apply_linear(layer["mlp"]["gate_up"], h)
+            gate, up = gu[..., :cfg.d_ff], gu[..., cfg.d_ff:]
+        else:
+            gate = lin("gate", layer["mlp"]["gate"], h)
+            up = lin("up", layer["mlp"]["up"], h)
         h = jax.nn.silu(gate) * up
         h = lin("down", layer["mlp"]["down"], h)
     else:
@@ -409,6 +439,41 @@ def _unembed(cfg, params, x):
     else:
         logits = apply_linear(params["lm_head"], x).astype(jnp.float32)
     return logits
+
+
+def fuse_qkv_params(cfg: TransformerConfig, params):
+    """Serving-time projection fusion: q|k|v -> one 'qkv' linear (and
+    gate|up -> 'gate_up' for SwiGLU models). Exact - per-output-channel
+    scales concatenate - and transparent to quantization (fuse AFTER the
+    per-linear GPTQ solve + packing). Apply before stack_layer_params.
+    """
+    from sleekit_tpu.ops.pack import concat_packed
+
+    def fuse(parts):
+        if isinstance(parts[0], PackedLinear):
+            return concat_packed(parts)
+        kernel = jnp.concatenate([p["kernel"] for p in parts], axis=1)
+        out = {"kernel": kernel}
+        if any("bias" in p for p in parts):
+            out["bias"] = jnp.concatenate([
+                p.get("bias", jnp.zeros((p["kernel"].shape[1],),
+                                        kernel.dtype)) for p in parts])
+        return out
+
+    out = dict(params)
+    layers = []
+    for layer in params["layers"]:
+        layer = {**layer, "attn": dict(layer["attn"]),
+                 "mlp": dict(layer["mlp"])}
+        a = layer["attn"]
+        layer["attn"] = {"qkv": fuse([a["q"], a["k"], a["v"]]), "o": a["o"]}
+        m = layer["mlp"]
+        if "gate" in m:
+            layer["mlp"] = {"gate_up": fuse([m["gate"], m["up"]]),
+                            "down": m["down"]}
+        layers.append(layer)
+    out["layers"] = layers
+    return out
 
 
 def stack_layer_params(params):
@@ -482,7 +547,10 @@ def calibrate_step(cfg: TransformerConfig, params, tokens,
 
 def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
                   dtype=jnp.float32):
-    shape = (batch, max_len, cfg.kv_heads, cfg.head_dim)
+    """KV cache in (batch, kv_heads, seq, head_dim) layout (the decode
+    kernels' layout, ops/attention.py); scan_layers stacks a leading
+    layer axis so the decode scan carries ONE buffer per k/v."""
+    shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
     if cfg.scan_layers:
         return {"k": jnp.zeros((cfg.n_layers, *shape), dtype),
                 "v": jnp.zeros((cfg.n_layers, *shape), dtype)}
@@ -490,9 +558,37 @@ def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
             for _ in range(cfg.n_layers)]
 
 
-def _run_layers_cached(cfg, params, x, positions, cache, write_pos):
-    """Run all blocks against the KV cache; returns (x, new cache).
-    Handles both the per-layer list layout and the stacked scan layout."""
+def _run_layers_decode(cfg, params, x, positions, cache, pos):
+    """Single-token decode through all blocks. The FULL stacked cache is
+    the scan carry (updated in place by the Pallas append kernel); per-row
+    positions handle ragged continuous batching."""
+    pos_vec = jnp.broadcast_to(jnp.asarray(pos), (x.shape[0],))
+    if cfg.scan_layers:
+
+        def body(carry, inp):
+            x, ck, cv = carry
+            layer, lidx = inp
+            x, (ck, cv), _ = _block(cfg, layer, x, positions,
+                                    (ck, cv, pos_vec, lidx), None, 0)
+            return (x, ck, cv), None
+
+        (x, ck, cv), _ = jax.lax.scan(
+            body, (x, cache["k"], cache["v"]),
+            (params["layers"], jnp.arange(cfg.n_layers)))
+        return x, {"k": ck, "v": cv}
+    new_cache = []
+    for i, layer in enumerate(params["layers"]):
+        ck = cache[i]["k"][None]
+        cv = cache[i]["v"][None]
+        x, (ck, cv), _ = _block(cfg, layer, x, positions,
+                                (ck, cv, pos_vec, jnp.int32(0)), None, i)
+        new_cache.append({"k": ck[0], "v": cv[0]})
+    return x, new_cache
+
+
+def _run_layers_prefill(cfg, params, x, positions, cache, write_pos):
+    """Run all blocks against the KV cache from a uniform start position;
+    returns (x, new cache)."""
     if cfg.scan_layers:
 
         def body(x, inp):
@@ -527,7 +623,7 @@ def decode_step(cfg: TransformerConfig, params, tokens: jnp.ndarray,
     else:
         positions = pos[:, None]
     x = _embed(cfg, params, tokens, positions)
-    x, new_cache = _run_layers_cached(cfg, params, x, positions, cache, pos)
+    x, new_cache = _run_layers_decode(cfg, params, x, positions, cache, pos)
     logits = _unembed(cfg, params, x)
     return logits[:, 0, :], new_cache
 
@@ -538,5 +634,5 @@ def prefill(cfg: TransformerConfig, params, tokens: jnp.ndarray, cache):
     b, t = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     x = _embed(cfg, params, tokens, positions)
-    x, new_cache = _run_layers_cached(cfg, params, x, positions, cache, 0)
+    x, new_cache = _run_layers_prefill(cfg, params, x, positions, cache, 0)
     return _unembed(cfg, params, x), new_cache

@@ -163,6 +163,33 @@ class PackedLinear:
                    + (0 if self.bias is None else self.bias.size * 4))
 
 
+def concat_packed(pls) -> PackedLinear:
+    """Concatenate PackedLinears along the output (N) axis.
+
+    Serving-time fusion (e.g. q|k|v -> one matmul): per-output-channel
+    scales make the concatenation exact. Requires identical in_features,
+    nbits, layout and LUT.
+    """
+    first = pls[0]
+    for p in pls[1:]:
+        assert (p.in_features, p.nbits, p.layout) == (
+            first.in_features, first.nbits, first.layout)
+        assert np.allclose(np.asarray(p.lut), np.asarray(first.lut))
+    packed = jnp.concatenate([p.packed for p in pls], axis=1)
+    scale = jnp.concatenate([p.scale for p in pls])
+    if all(p.bias is None for p in pls):
+        bias = None
+    else:
+        bias = jnp.concatenate([
+            p.bias if p.bias is not None
+            else jnp.zeros((p.out_features,), jnp.float32) for p in pls])
+    return PackedLinear(
+        packed=packed, scale=scale, lut=first.lut, bias=bias,
+        in_features=first.in_features,
+        out_features=sum(p.out_features for p in pls),
+        nbits=first.nbits, affine=first.affine, layout=first.layout)
+
+
 def pack_quantized(
     weight_q: jnp.ndarray,
     scale: jnp.ndarray,

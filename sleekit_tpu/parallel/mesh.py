@@ -107,9 +107,13 @@ def stats_specs(stats) -> Any:
 
 
 def kv_cache_specs(cache) -> Any:
-    """KV cache: batch over 'data', heads over 'model'."""
-    return [{"k": P("data", None, "model", None),
-             "v": P("data", None, "model", None)} for _ in cache]
+    """KV cache ((B, KV, S, D) per layer, or stacked (L, B, KV, S, D)):
+    batch over 'data', kv heads over 'model'."""
+    if isinstance(cache, dict):  # stacked scan_layers layout
+        spec = P(None, "data", "model", None, None)
+        return {"k": spec, "v": spec}
+    return [{"k": P("data", "model", None, None),
+             "v": P("data", "model", None, None)} for _ in cache]
 
 
 def shard_pytree(tree, specs, mesh: Mesh):
