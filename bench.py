@@ -16,7 +16,7 @@ throughput is measured by fetching a value (forced D2H) around a fused
 K-step loop and subtracting the measured round-trip overhead.
 
 Env knobs: BENCH_MODEL (zoo name), BENCH_BATCH, BENCH_STEPS, BENCH_NBITS,
-BENCH_CTX.
+BENCH_CTX, BENCH_KV (bf16 | int8 - quantized KV cache for the packed path).
 """
 
 import json
@@ -49,6 +49,13 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "64"))
     nbits = int(os.environ.get("BENCH_NBITS", "4"))
     ctx = int(os.environ.get("BENCH_CTX", "256"))
+    # int8 KV cache (per-token scales, quantized in-kernel) is the
+    # default serving config: halves KV HBM traffic and doubles context
+    # capacity at no measured argmax change (tests/test_attention.py).
+    # fp8 (e4m3) compiles but converts in software on v5e - slow.
+    kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8,
+                "fp8": jnp.float8_e4m3fn}[
+        os.environ.get("BENCH_KV", "int8")]
 
     from sleekit_tpu.codebooks import UniformCodebook
     from sleekit_tpu.models.eval import decode_scan
@@ -81,8 +88,8 @@ def main():
 
     first = jnp.zeros((batch,), jnp.int32)
 
-    def run_decode(params, tag):
-        cache = init_kv_cache(cfg, batch, ctx, dtype=jnp.bfloat16)
+    def run_decode(params, tag, cache_dtype=jnp.bfloat16):
+        cache = init_kv_cache(cfg, batch, ctx, dtype=cache_dtype)
         t0 = time.time()
         toks, cache, last, pos = decode_scan(cfg, params, cache, first,
                                              jnp.int32(0), steps)
@@ -90,7 +97,7 @@ def main():
         log(f"  {tag}: compile+first loop {time.time() - t0:.1f}s")
         best = float("inf")
         for _ in range(3):
-            cache = init_kv_cache(cfg, batch, ctx, dtype=jnp.bfloat16)
+            cache = init_kv_cache(cfg, batch, ctx, dtype=cache_dtype)
             t0 = time.time()
             toks, cache, last, pos = decode_scan(cfg, params, cache, first,
                                                  jnp.int32(0), steps)
@@ -100,9 +107,13 @@ def main():
         log(f"  {tag}: {best / steps * 1e3:.2f} ms/step, {tok_s:.1f} tokens/s")
         return tok_s
 
-    # Quantized packed decode
-    qparams, _ = random_packed_params(cfg, key, codebook)
-    quant_tok_s = run_decode(qparams, f"int{nbits} packed")
+    # Quantized packed decode: fused q|k|v + gate|up projections and an
+    # int8-packed unembed head on top of the int-N packed linears.
+    from sleekit_tpu.models.quantize import pack_lm_head
+
+    qparams, _ = random_packed_params(cfg, key, codebook, fuse_qkv=True)
+    qparams = pack_lm_head(cfg, qparams, nbits=8)
+    quant_tok_s = run_decode(qparams, f"int{nbits} packed", cache_dtype=kv_dtype)
     del qparams
 
     # Dense bf16 baseline

@@ -107,7 +107,7 @@ def main(argv=None):
 
     # --- full minus the unembed matmul ---------------------------------
     if "no_unembed" in variants:
-        from sleekit_tpu.models.transformer import _run_layers_cached
+        from sleekit_tpu.models.transformer import _run_layers_decode
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def run_no_unembed(params, cache):
@@ -115,7 +115,7 @@ def main(argv=None):
                 last, cache, pos = carry
                 positions = pos[None].repeat(b)[:, None]
                 x = _embed(cfg, params, last[:, None], positions)
-                x, cache = _run_layers_cached(cfg, params, x, positions,
+                x, cache = _run_layers_decode(cfg, params, x, positions,
                                               cache, pos)
                 nxt = (last + 1) % cfg.vocab_size
                 return (nxt, cache, pos + 1), jnp.sum(x.astype(jnp.float32))
@@ -153,8 +153,10 @@ def main(argv=None):
         results["linears_only"] = timed(run_linears, params,
                                         tag="linears only")
 
-    # --- only attention + KV-cache traffic ----------------------------
+    # --- only attention + KV-cache traffic (the fused kernel path) ----
     if "attn_only" in variants:
+        from sleekit_tpu.ops.attention import decode_attention
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_attn(cache):
             hd, kv = cfg.head_dim, cfg.kv_heads
@@ -162,28 +164,20 @@ def main(argv=None):
 
             def step_body(carry, _):
                 cache, pos = carry
-                positions = pos[None].repeat(b)[:, None]
+                pos_vec = jnp.broadcast_to(pos, (b,))
 
-                def layer_body(x, kv_in):
-                    ck, cv = kv_in
-                    q = x.reshape(b, 1, cfg.n_heads, hd)
-                    k = x[..., : kv * hd].reshape(b, 1, kv, hd)
-                    v = k
-                    rows = jnp.arange(b)
-                    ck = ck.at[rows, positions[:, -1]].set(
-                        k[:, 0].astype(ck.dtype))
-                    cv = cv.at[rows, positions[:, -1]].set(
-                        v[:, 0].astype(cv.dtype))
-                    s = ck.shape[1]
-                    k_pos = jnp.arange(s)
-                    bias = _causal_bias(cfg, positions,
-                                        jnp.broadcast_to(k_pos, (b, s)))
-                    attn = _attention(cfg, q, ck, cv, bias)
-                    return x + attn.reshape(b, 1, cfg.d_model), (ck, cv)
+                def layer_body(inner, lidx):
+                    x, ck, cv = inner
+                    q = x.reshape(b, cfg.n_heads, hd)
+                    k = x[:, 0, : kv * hd].reshape(b, kv, hd)
+                    out, ck, cv = decode_attention(
+                        q, k, k, ck, cv, pos_vec, lidx)
+                    return (x + out.reshape(b, 1, cfg.d_model), ck, cv), None
 
-                x, (ks, vs) = jax.lax.scan(
-                    layer_body, x0, (cache["k"], cache["v"]))
-                return ({"k": ks, "v": vs}, pos + 1), jnp.sum(
+                (x, ck, cv), _ = jax.lax.scan(
+                    layer_body, (x0, cache["k"], cache["v"]),
+                    jnp.arange(cfg.n_layers))
+                return ({"k": ck, "v": cv}, pos + 1), jnp.sum(
                     x.astype(jnp.float32))
             (cache, _), outs = jax.lax.scan(
                 step_body, (cache, jnp.int32(0)), None, length=steps)

@@ -44,6 +44,13 @@ def load_token_stream(
     if source and source.endswith(".npy"):
         stream = np.load(source).astype(np.int32)
         return stream[:n_tokens], f"file:{source}"
+    if source and source.endswith(".skt"):
+        from sleekit_tpu.native.dataio import TokenShard
+        shard = TokenShard(source)
+        n = min(n_tokens, len(shard))
+        stream = shard.windows(np.zeros(1, np.int64), n)[0]
+        shard.close()
+        return stream, f"shard:{source}"
     if source == "wikitext2":
         toks = _load_wikitext2(tokenizer_name, split)
         if toks is not None:

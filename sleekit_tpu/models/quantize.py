@@ -102,6 +102,34 @@ def quantize_model(
     return params, reports
 
 
+def pack_lm_head(cfg: TransformerConfig, params, nbits: int = 8):
+    """Inject a packed serving unembed head.
+
+    The unembed matmul streams the full (E, V) matrix every decode step;
+    packing it (int8 by default - the output head is quality-sensitive)
+    cuts that stream 2-4x. Round-to-nearest with per-vocab-channel
+    non-saturating scales; the tied embedding GATHER keeps the dense
+    table (reads only B rows per step).
+    """
+    from sleekit_tpu.codebooks import UniformCodebook
+    from sleekit_tpu.scaling import compute_non_saturating_scaling
+
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    if "lm_head" in params and not isinstance(params["lm_head"], PackedLinear):
+        W = params["lm_head"]["kernel"].T          # (V, E)
+    else:
+        W = params["embed"]["tokens"]               # (V, E) tied
+        if "project_out" in params["embed"]:
+            raise ValueError("pack_lm_head does not support project_out "
+                             "models (OPT-350M); unembed stays dense")
+    W = jnp.asarray(W, jnp.float32)
+    cb = UniformCodebook(2 ** nbits, -1.0, 1.0)
+    scale = compute_non_saturating_scaling(W, cb)   # per vocab channel
+    Q = cb(W / scale[:, None]) * scale[:, None]
+    params["lm_head"] = pack_quantized(Q, scale, cb)
+    return params
+
+
 def quantize_model_from_batches(
     cfg: TransformerConfig,
     params,

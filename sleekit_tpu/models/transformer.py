@@ -365,30 +365,57 @@ def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
         # flash attention, zero cache copies (ops/attention.py).
         from sleekit_tpu.ops.attention import decode_attention
 
-        cache_k, cache_v, pos_vec, lidx = kv_write
+        entry, pos_vec, lidx = kv_write[1], kv_write[2], kv_write[3]
         slopes = (jnp.asarray(alibi_slopes(cfg.n_heads))
                   if cfg.positional == "alibi" else None)
-        out, cache_k, cache_v = decode_attention(
-            q[:, 0], k[:, 0], v[:, 0], cache_k, cache_v, pos_vec, lidx,
-            scale=1.0 / math.sqrt(cfg.head_dim), alibi_slopes=slopes)
-        attn = out[:, None]
-        kv_write = (cache_k, cache_v)
+        res = decode_attention(
+            q[:, 0], k[:, 0], v[:, 0], entry["k"], entry["v"],
+            pos_vec, lidx,
+            scale=1.0 / math.sqrt(cfg.head_dim), alibi_slopes=slopes,
+            k_scale=entry.get("k_scale"), v_scale=entry.get("v_scale"))
+        attn = res[0][:, None]
+        entry = {"k": res[1], "v": res[2]}
+        if len(res) == 5:
+            entry["k_scale"], entry["v_scale"] = res[3], res[4]
+        kv_write = entry
     else:
         # Prefill: contiguous slice write from a uniform start position.
-        cache_k, cache_v, write_pos = kv_write
+        from sleekit_tpu.ops.attention import _quant_rows
+
+        entry, write_pos = kv_write[1], kv_write[2]
+        cache_k, cache_v = entry["k"], entry["v"]
         kt = k.transpose(0, 2, 1, 3)                       # (B, KV, T, D)
         vt = v.transpose(0, 2, 1, 3)
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, kt.astype(cache_k.dtype), (0, 0, write_pos, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, vt.astype(cache_v.dtype), (0, 0, write_pos, 0))
+        new_entry = {}
+        if "k_scale" in entry:
+            kq, ks = _quant_rows(kt.astype(jnp.float32))
+            vq, vs = _quant_rows(vt.astype(jnp.float32))
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, kq.astype(cache_k.dtype), (0, 0, write_pos, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, vq.astype(cache_v.dtype), (0, 0, write_pos, 0))
+            new_entry["k_scale"] = jax.lax.dynamic_update_slice(
+                entry["k_scale"], ks[..., 0], (0, 0, write_pos))
+            new_entry["v_scale"] = jax.lax.dynamic_update_slice(
+                entry["v_scale"], vs[..., 0], (0, 0, write_pos))
+            attn_k = (cache_k.astype(jnp.float32)
+                      * new_entry["k_scale"][..., None]).astype(x.dtype)
+            attn_v = (cache_v.astype(jnp.float32)
+                      * new_entry["v_scale"][..., None]).astype(x.dtype)
+        else:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, kt.astype(cache_k.dtype), (0, 0, write_pos, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, vt.astype(cache_v.dtype), (0, 0, write_pos, 0))
+            attn_k, attn_v = cache_k, cache_v
+        new_entry["k"], new_entry["v"] = cache_k, cache_v
         s = cache_k.shape[2]
         k_pos = jnp.arange(s)
         valid = k_pos[None, :] <= positions[:, -1:]  # (B, S)
         bias = _causal_bias(cfg, positions, jnp.broadcast_to(k_pos, (b, s)))
         bias = jnp.where(valid[:, None, None, :], bias, -1e9)
-        attn = _attention(cfg, q, cache_k, cache_v, bias)
-        kv_write = (cache_k, cache_v)
+        attn = _attention(cfg, q, attn_k, attn_v, bias)
+        kv_write = new_entry
 
     attn = attn.reshape(b, t, d)
     attn = lin("o", layer["attn"]["o"], attn)
@@ -433,11 +460,14 @@ def _unembed(cfg, params, x):
         x = apply_norm(cfg, params["final_ln"], x)
     if "project_out" in params["embed"]:
         x = apply_linear(params["embed"]["project_out"], x)
-    if cfg.tie_embeddings:
+    if "lm_head" in params:
+        # Untied head - or a packed serving head injected by
+        # pack_lm_head() over tied embeddings (halves/quarters the
+        # unembed HBM stream, the embedding gather stays dense).
+        logits = apply_linear(params["lm_head"], x).astype(jnp.float32)
+    else:
         logits = jnp.dot(x, params["embed"]["tokens"].T,
                          preferred_element_type=jnp.float32)
-    else:
-        logits = apply_linear(params["lm_head"], x).astype(jnp.float32)
     return logits
 
 
@@ -549,13 +579,30 @@ def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
                   dtype=jnp.float32):
     """KV cache in (batch, kv_heads, seq, head_dim) layout (the decode
     kernels' layout, ops/attention.py); scan_layers stacks a leading
-    layer axis so the decode scan carries ONE buffer per k/v."""
+    layer axis so the decode scan carries ONE buffer per k/v.
+
+    ``dtype=jnp.int8`` selects the quantized cache: int8 values plus
+    per-(token, head) f32 scales (halved HBM traffic and 2x context
+    capacity; quantization happens inside the append kernels)."""
     shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
+    quant = dtype == jnp.int8
     if cfg.scan_layers:
-        return {"k": jnp.zeros((cfg.n_layers, *shape), dtype),
-                "v": jnp.zeros((cfg.n_layers, *shape), dtype)}
-    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-            for _ in range(cfg.n_layers)]
+        out = {"k": jnp.zeros((cfg.n_layers, *shape), dtype),
+               "v": jnp.zeros((cfg.n_layers, *shape), dtype)}
+        if quant:
+            sshape = (cfg.n_layers, batch, cfg.kv_heads, max_len)
+            out["k_scale"] = jnp.zeros(sshape, jnp.float32)
+            out["v_scale"] = jnp.zeros(sshape, jnp.float32)
+        return out
+    layers = []
+    for _ in range(cfg.n_layers):
+        entry = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        if quant:
+            sshape = (batch, cfg.kv_heads, max_len)
+            entry["k_scale"] = jnp.zeros(sshape, jnp.float32)
+            entry["v_scale"] = jnp.zeros(sshape, jnp.float32)
+        layers.append(entry)
+    return layers
 
 
 def _run_layers_decode(cfg, params, x, positions, cache, pos):
@@ -566,23 +613,23 @@ def _run_layers_decode(cfg, params, x, positions, cache, pos):
     if cfg.scan_layers:
 
         def body(carry, inp):
-            x, ck, cv = carry
+            x, entry = carry
             layer, lidx = inp
-            x, (ck, cv), _ = _block(cfg, layer, x, positions,
-                                    (ck, cv, pos_vec, lidx), None, 0)
-            return (x, ck, cv), None
+            x, entry, _ = _block(cfg, layer, x, positions,
+                                 ("decode", entry, pos_vec, lidx), None, 0)
+            return (x, entry), None
 
-        (x, ck, cv), _ = jax.lax.scan(
-            body, (x, cache["k"], cache["v"]),
+        (x, entry), _ = jax.lax.scan(
+            body, (x, dict(cache)),
             (params["layers"], jnp.arange(cfg.n_layers)))
-        return x, {"k": ck, "v": cv}
+        return x, entry
     new_cache = []
     for i, layer in enumerate(params["layers"]):
-        ck = cache[i]["k"][None]
-        cv = cache[i]["v"][None]
-        x, (ck, cv), _ = _block(cfg, layer, x, positions,
-                                (ck, cv, pos_vec, jnp.int32(0)), None, i)
-        new_cache.append({"k": ck[0], "v": cv[0]})
+        entry = {k: v[None] for k, v in cache[i].items()}
+        x, entry, _ = _block(cfg, layer, x, positions,
+                             ("decode", entry, pos_vec, jnp.int32(0)),
+                             None, i)
+        new_cache.append({k: v[0] for k, v in entry.items()})
     return x, new_cache
 
 
@@ -590,21 +637,23 @@ def _run_layers_prefill(cfg, params, x, positions, cache, write_pos):
     """Run all blocks against the KV cache from a uniform start position;
     returns (x, new cache)."""
     if cfg.scan_layers:
+        keys = sorted(cache.keys())
 
         def body(x, inp):
-            layer, ck, cv = inp
-            x, kv_out, _ = _block(cfg, layer, x, positions,
-                                  (ck, cv, write_pos), None, 0)
-            return x, kv_out
+            layer = inp[0]
+            entry = dict(zip(keys, inp[1:]))
+            x, entry, _ = _block(cfg, layer, x, positions,
+                                 ("prefill", entry, write_pos), None, 0)
+            return x, tuple(entry[k] for k in keys)
 
-        x, (ks, vs) = jax.lax.scan(
-            body, x, (params["layers"], cache["k"], cache["v"]))
-        return x, {"k": ks, "v": vs}
+        x, outs = jax.lax.scan(
+            body, x, (params["layers"], *[cache[k] for k in keys]))
+        return x, dict(zip(keys, outs))
     new_cache = []
     for i, layer in enumerate(params["layers"]):
-        kv = (cache[i]["k"], cache[i]["v"], write_pos)
-        x, kv_out, _ = _block(cfg, layer, x, positions, kv, None, i)
-        new_cache.append({"k": kv_out[0], "v": kv_out[1]})
+        x, entry, _ = _block(cfg, layer, x, positions,
+                             ("prefill", cache[i], write_pos), None, i)
+        new_cache.append(entry)
     return x, new_cache
 
 

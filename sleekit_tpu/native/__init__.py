@@ -25,15 +25,20 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
-def _build() -> Optional[str]:
+def build_lib(src: str, lib_path: str) -> Optional[str]:
+    """Compile one C++ source into a shared library (returns path or None)."""
     cxx = os.environ.get("CXX", "g++")
     cmd = [cxx, "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", _SRC, "-o", _LIB_PATH]
+           "-pthread", src, "-o", lib_path]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _LIB_PATH
+        return lib_path
     except Exception:
         return None
+
+
+def _build() -> Optional[str]:
+    return build_lib(_SRC, _LIB_PATH)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

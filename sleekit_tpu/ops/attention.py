@@ -45,6 +45,18 @@ from jax.experimental.pallas import tpu as pltpu
 # requires the second-minor block dim to be a multiple of 8).
 _APPEND_WIN = 8
 
+# int8 KV quantization: symmetric per-(token, head) scale over head_dim.
+_INT8_MAX = 127.0
+_SCALE_FLOOR = 1e-8
+
+
+def _quant_rows(x):
+    """x (..., D) f32 -> (int8 values, f32 scale (..., 1))."""
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+                        / _INT8_MAX, _SCALE_FLOOR)
+    q = jnp.clip(jnp.round(x / scale), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
 
 def _append_kernel(pos_ref, layer_ref, knew_ref, vnew_ref,
                    ck_in, cv_in, ck_out, cv_out):
@@ -65,11 +77,38 @@ def _append_kernel(pos_ref, layer_ref, knew_ref, vnew_ref,
     cv_out[...] = jnp.where(mask, newv, cv_in[...])
 
 
+def _append_q_kernel(pos_ref, layer_ref, knew_ref, vnew_ref,
+                     ck_in, cv_in, ks_in, vs_in,
+                     ck_out, cv_out, ks_out, vs_out):
+    """int8-cache append: quantize the new vectors in-kernel and blend
+    values + per-token scales in place."""
+    del layer_ref
+    b = pl.program_id(0)
+    r = pos_ref[b] % _APPEND_WIN
+    row = lax.broadcasted_iota(jnp.int32, (_APPEND_WIN, 1), 0)
+    mask = (row == r)[None, None, None]                 # (1,1,1,WIN,1)
+    kq, ks = _quant_rows(knew_ref[...].astype(jnp.float32))  # (1,KV,1,D)
+    vq, vs = _quant_rows(vnew_ref[...].astype(jnp.float32))
+    ck_out[...] = jnp.where(mask, kq[None].astype(ck_out.dtype), ck_in[...])
+    cv_out[...] = jnp.where(mask, vq[None].astype(cv_out.dtype), cv_in[...])
+    # Scale planes are (1, 1, KV, S): blend column pos (lane mask).
+    S = ks_in.shape[-1]
+    col = lax.broadcasted_iota(jnp.int32, (1, S), 1)[None, None]
+    smask = col == pos_ref[b]                           # (1,1,1,S)
+    ks_out[...] = jnp.where(smask, ks[..., 0][None], ks_in[...])
+    vs_out[...] = jnp.where(smask, vs[..., 0][None], vs_in[...])
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def kv_append_pallas(k_new, v_new, cache_k, cache_v, pos, layer,
+                     k_scale=None, v_scale=None,
                      interpret: bool = False):
     """Write k_new/v_new (B, KV, D) into cache (L, B, KV, S, D) at
-    per-row positions ``pos`` (B,) of layer ``layer``, in place."""
+    per-row positions ``pos`` (B,) of layer ``layer``, in place.
+
+    With ``k_scale``/``v_scale`` (L, B, KV, S) the cache is int8 and the
+    new vectors are quantized in-kernel (per-token symmetric scales).
+    """
     L, B, KV, S, D = cache_k.shape
     assert S % _APPEND_WIN == 0
     pos = jnp.clip(jnp.broadcast_to(pos, (B,)).astype(jnp.int32), 0, S - 1)
@@ -84,105 +123,210 @@ def kv_append_pallas(k_new, v_new, cache_k, cache_v, pos, layer,
                               memory_space=pltpu.VMEM)
     new_spec = pl.BlockSpec((1, KV, 1, D), lambda b, p, l: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
+
+    if k_scale is None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[new_spec, new_spec, cache_spec, cache_spec],
+            out_specs=[cache_spec, cache_spec],
+        )
+        return pl.pallas_call(
+            _append_kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+                       jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype)],
+            # inputs: [pos, layer, k_new, v_new, cache_k, cache_v]
+            input_output_aliases={4: 0, 5: 1},
+            interpret=interpret,
+        )(pos, layer, k_new, v_new, cache_k, cache_v)
+
+    scale_spec = pl.BlockSpec(
+        (1, 1, KV, S), lambda b, p, l: (l[0], b, 0, 0),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
-        in_specs=[new_spec, new_spec, cache_spec, cache_spec],
-        out_specs=[cache_spec, cache_spec],
+        in_specs=[new_spec, new_spec, cache_spec, cache_spec,
+                  scale_spec, scale_spec],
+        out_specs=[cache_spec, cache_spec, scale_spec, scale_spec],
     )
     return pl.pallas_call(
-        _append_kernel,
+        _append_q_kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
-                   jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype)],
-        # inputs: [pos, layer, k_new, v_new, cache_k, cache_v]
-        input_output_aliases={4: 0, 5: 1},
+                   jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+                   jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+                   jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)],
+        # inputs: [pos, layer, k_new, v_new, ck, cv, ks, vs]
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
         interpret=interpret,
-    )(pos, layer, k_new, v_new, cache_k, cache_v)
+    )(pos, layer, k_new, v_new, cache_k, cache_v, k_scale, v_scale)
 
 
 # ---- flash decode attention ----------------------------------------------
 
 
 def _decode_kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, slopes_ref,
-                   o_ref, *, scale, s_valid):
+                   ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                   scale, kv, groups, s_blk):
+    """One (batch-row, S-block) step of the one-big-dot flash decode.
+
+    All KV heads are folded into a single MXU contraction: the (KV, SB, D)
+    cache block collapses to (KV*SB, D) and logits (KV*G, KV*SB) are
+    computed in one dot - cross-head products are killed by the
+    block-diagonal mask. The wasted MXU flops are negligible (the kernel
+    is HBM-bandwidth-bound); what matters is that per grid step there is
+    ONE dot + ONE masked softmax + ONE dot instead of KV tiny ones.
+    Online-softmax state (acc, m, l) carries across S blocks.
+    """
     b = pl.program_id(0)
+    ns = pl.program_id(1)
+    n_s = pl.num_programs(1)
     del layer_ref
-    q = q_ref[0, 0].astype(jnp.float32)                    # (G, D)
-    k = k_ref[0, 0, 0].astype(jnp.float32)                 # (S, D)
-    # NT-form contraction over D: (G, D) x (S, D) -> (G, S); no transpose
-    # of the (S, D) cache block ever materializes in VMEM.
-    logits = lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    rows, cols = kv * groups, kv * s_blk
+
+    @pl.when(ns == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    D_ = q_ref.shape[-1]
+    # bf16 operands take the fast MXU path on the serving dtype; f32
+    # inputs keep full precision (parity with the XLA oracle).
+    cdt = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    qf = q_ref[0].reshape(rows, D_)
+    k = k_ref[0, 0].reshape(cols, D_)
+    logits = lax.dot_general(qf.astype(cdt), k.astype(cdt),
+                             (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
-    S = logits.shape[-1]
-    col = lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    if ks_ref is not None:
+        # int8 cache: per-token scales stored (KV, SB). A (1, cols) lane
+        # vector would need a cross-tile relayout (unsupported); instead
+        # extract each head's scale row with a one-hot sublane reduction
+        # and concat the clean-layout (1, SB) vectors along lanes.
+        kv_iota = lax.broadcasted_iota(jnp.int32, (kv, 1), 0)
+
+        def lane_vec(ref):
+            t = ref[0, 0]                                # (KV, SB)
+            rows_ = [jnp.sum(jnp.where(kv_iota == i, t, 0.0), axis=0,
+                             keepdims=True) for i in range(kv)]
+            return jnp.concatenate(rows_, axis=1)        # (1, KV*SB)
+        logits = logits * lane_vec(ks_ref)
+    row_h = lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // groups
+    col_h = lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // s_blk
+    col_s = (lax.broadcasted_iota(jnp.int32, (rows, cols), 1) % s_blk
+             + ns * s_blk)
     p = pos_ref[b]
-    mask = (col <= p) & (col < s_valid)
     if slopes_ref is not None:
-        slope = slopes_ref[0, 0].astype(jnp.float32)       # (G,)
-        dist = (col - p).astype(jnp.float32)               # (1, S)
-        logits = logits + slope[:, None] * dist
+        slope = slopes_ref[...].astype(jnp.float32)          # (rows, 1)
+        logits = logits + slope * (col_s - p).astype(jnp.float32)
+    mask = (row_h == col_h) & (col_s <= p)
     logits = jnp.where(mask, logits, -jnp.inf)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p_exp = jnp.exp(logits - m)
-    denom = jnp.sum(p_exp, axis=-1, keepdims=True)
-    probs = (p_exp / denom).astype(v_ref.dtype)
-    v = v_ref[0, 0, 0]                                     # (S, D)
-    out = jnp.dot(probs, v.astype(probs.dtype),
-                  preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+    m_blk = jnp.max(logits, axis=-1, keepdims=True)          # (rows, 1)
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, m_blk)
+    alpha = jnp.exp(m_prev - m_new)                          # (rows, 1)
+    p_exp = jnp.exp(logits - m_new)                          # (rows, cols)
+    l_new = l_ref[:, :1] * alpha + jnp.sum(p_exp, axis=-1, keepdims=True)
+    v = v_ref[0, 0].reshape(cols, D_)
+    if vs_ref is not None:
+        kv_iota2 = lax.broadcasted_iota(jnp.int32, (kv, 1), 0)
+        t = vs_ref[0, 0]
+        vsv = jnp.concatenate(
+            [jnp.sum(jnp.where(kv_iota2 == i, t, 0.0), axis=0,
+                     keepdims=True) for i in range(kv)], axis=1)
+        p_exp = p_exp * vsv
+    pv = jnp.dot(p_exp.astype(cdt), v.astype(cdt),
+                 preferred_element_type=jnp.float32)         # (rows, D)
+    acc_ref[...] = acc_ref[...] * alpha + pv
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ns == n_s - 1)
+    def _():
+        out = acc_ref[...] / l_ref[:, :1]
+        o_ref[0] = out.reshape(kv, groups, D_).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "block_s", "interpret"))
 def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
                         scale: float,
                         alibi_slopes: Optional[jnp.ndarray] = None,
+                        k_scale=None, v_scale=None,
+                        block_s: int = 256,
                         interpret: bool = False):
     """Masked decode attention out = softmax(q K^T / sqrt(D)) V.
 
     q: (B, H, D); cache: (L, B, KV, S, D); pos: (B,) int32 - the highest
     attendable position per row (inclusive); layer: scalar int32.
     Returns (B, H, D) in q.dtype. GQA: H = KV * G; q head h attends kv
-    head h // G. ALiBi slopes: (H,) f32 or None.
+    head h // G. ALiBi slopes: (H,) f32 or None. Long contexts stream in
+    ``block_s``-sized S blocks with online softmax. With
+    ``k_scale``/``v_scale`` (L, B, KV, S) the cache holds int8 values
+    dequantized on the fly (per-token symmetric scales).
     """
     L, B, KV, S, D = cache_k.shape
     Bq, H, Dq = q.shape
     assert (Bq, Dq) == (B, D) and H % KV == 0
     G = H // KV
+    rows = KV * G
+    s_blk = min(block_s, S)
+    assert S % s_blk == 0
+    n_s = S // s_blk
     q4 = q.reshape(B, KV, G, D)
     pos = jnp.clip(jnp.broadcast_to(pos, (B,)).astype(jnp.int32), 0, S - 1)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
 
-    def cache_map(b, h, p, l):
-        return (l[0], b, h, 0, 0)
+    def cache_map(b, ns, p, l):
+        return (l[0], b, 0, ns, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, G, D), lambda b, h, p, l: (b, h, 0, 0),
+        pl.BlockSpec((1, KV, G, D), lambda b, ns, p, l: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, S, D), cache_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, S, D), cache_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KV, s_blk, D), cache_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KV, s_blk, D), cache_map,
+                     memory_space=pltpu.VMEM),
     ]
     args = [pos, layer, q4, cache_k, cache_v]
-    if alibi_slopes is not None:
-        # (KV, 1, G): the (1, G) minor dims match the block exactly
-        # (Mosaic block-shape rule), the KV axis is indexed per program.
-        slopes3 = jnp.asarray(alibi_slopes, jnp.float32).reshape(KV, 1, G)
-        in_specs.append(pl.BlockSpec((1, 1, G), lambda b, h, p, l: (h, 0, 0),
+    has_slopes = alibi_slopes is not None
+    has_scales = k_scale is not None
+    if has_slopes:
+        slopes2 = jnp.asarray(alibi_slopes, jnp.float32).reshape(rows, 1)
+        in_specs.append(pl.BlockSpec((rows, 1), lambda b, ns, p, l: (0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(slopes3)
-        kernel = functools.partial(_decode_kernel, scale=scale, s_valid=S)
-    else:
-        kernel = functools.partial(
-            lambda pr, lr, qr, kr, vr, orf, **kw: _decode_kernel(
-                pr, lr, qr, kr, vr, None, orf, **kw),
-            scale=scale, s_valid=S)
+        args.append(slopes2)
+    if has_scales:
+        sspec = pl.BlockSpec((1, 1, KV, s_blk),
+                             lambda b, ns, p, l: (l[0], b, 0, ns),
+                             memory_space=pltpu.VMEM)
+        in_specs += [sspec, sspec]
+        args += [k_scale, v_scale]
+
+    def kernel(pr, lr, qr, kr, vr, *rest):
+        i = 0
+        slopes = rest[0] if has_slopes else None
+        i += int(has_slopes)
+        ks = rest[i] if has_scales else None
+        vs = rest[i + 1] if has_scales else None
+        i += 2 * int(has_scales)
+        _decode_kernel(pr, lr, qr, kr, vr, slopes, ks, vs, *rest[i:],
+                       scale=scale, kv=KV, groups=G, s_blk=s_blk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, KV),
+        grid=(B, n_s),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, p, l: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, KV, G, D), lambda b, ns, p, l: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, D), jnp.float32),    # acc
+            pltpu.VMEM((rows, 128), jnp.float32),  # running max
+            pltpu.VMEM((rows, 128), jnp.float32),  # running denom
+        ],
     )
     out = pl.pallas_call(
         kernel,
@@ -196,28 +340,43 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
 # ---- XLA oracle / portable fallback ---------------------------------------
 
 
-def kv_append_xla(k_new, v_new, cache_k, cache_v, pos, layer):
+def kv_append_xla(k_new, v_new, cache_k, cache_v, pos, layer,
+                  k_scale=None, v_scale=None):
     """Same semantics as :func:`kv_append_pallas` on plain XLA ops."""
     L, B, KV, S, D = cache_k.shape
     pos = jnp.clip(jnp.broadcast_to(pos, (B,)).astype(jnp.int32), 0, S - 1)
     rows = jnp.arange(B)
     lrow = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (B,))
-    cache_k = cache_k.at[lrow, rows, :, pos].set(k_new.astype(cache_k.dtype))
-    cache_v = cache_v.at[lrow, rows, :, pos].set(v_new.astype(cache_v.dtype))
-    return cache_k, cache_v
+    if k_scale is None:
+        cache_k = cache_k.at[lrow, rows, :, pos].set(
+            k_new.astype(cache_k.dtype))
+        cache_v = cache_v.at[lrow, rows, :, pos].set(
+            v_new.astype(cache_v.dtype))
+        return cache_k, cache_v
+    kq, ks = _quant_rows(k_new.astype(jnp.float32))
+    vq, vs = _quant_rows(v_new.astype(jnp.float32))
+    cache_k = cache_k.at[lrow, rows, :, pos].set(kq.astype(cache_k.dtype))
+    cache_v = cache_v.at[lrow, rows, :, pos].set(vq.astype(cache_v.dtype))
+    k_scale = k_scale.at[lrow, rows, :, pos].set(ks[..., 0])
+    v_scale = v_scale.at[lrow, rows, :, pos].set(vs[..., 0])
+    return cache_k, cache_v, k_scale, v_scale
 
 
 def flash_decode_xla(q, cache_k, cache_v, pos, layer, scale,
-                     alibi_slopes=None):
+                     alibi_slopes=None, k_scale=None, v_scale=None):
     """Same semantics as :func:`flash_decode_pallas` on plain XLA ops."""
     L, B, KV, S, D = cache_k.shape
     H = q.shape[1]
     G = H // KV
     pos = jnp.clip(jnp.broadcast_to(pos, (B,)).astype(jnp.int32), 0, S - 1)
-    k = lax.dynamic_index_in_dim(cache_k, jnp.asarray(layer, jnp.int32),
-                                 axis=0, keepdims=False)  # (B, KV, S, D)
-    v = lax.dynamic_index_in_dim(cache_v, jnp.asarray(layer, jnp.int32),
-                                 axis=0, keepdims=False)
+    lidx = jnp.asarray(layer, jnp.int32)
+    k = lax.dynamic_index_in_dim(cache_k, lidx, axis=0, keepdims=False)
+    v = lax.dynamic_index_in_dim(cache_v, lidx, axis=0, keepdims=False)
+    if k_scale is not None:
+        ks = lax.dynamic_index_in_dim(k_scale, lidx, 0, keepdims=False)
+        vs = lax.dynamic_index_in_dim(v_scale, lidx, 0, keepdims=False)
+        k = k.astype(jnp.float32) * ks[..., None]
+        v = v.astype(jnp.float32) * vs[..., None]
     q4 = q.reshape(B, KV, G, D)
     logits = jnp.einsum("bkgd,bksd->bkgs", q4.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale
@@ -240,22 +399,38 @@ def use_pallas_default() -> bool:
 def decode_attention(q, k_new, v_new, cache_k, cache_v, pos, layer,
                      scale: Optional[float] = None,
                      alibi_slopes=None,
+                     k_scale=None, v_scale=None,
                      use_pallas: Optional[bool] = None,
                      interpret: bool = False):
     """Append the new token's K/V and attend over the cache (one decode
-    step of one layer). Returns (out (B, H, D), cache_k, cache_v)."""
+    step of one layer). Returns (out (B, H, D), cache_k, cache_v) - plus
+    (k_scale, v_scale) appended when the cache is int8-quantized."""
     if scale is None:
         scale = 1.0 / math.sqrt(cache_k.shape[-1])
     if use_pallas is None:
         use_pallas = use_pallas_default()
+    quantized = k_scale is not None
     if use_pallas or interpret:
-        cache_k, cache_v = kv_append_pallas(
-            k_new, v_new, cache_k, cache_v, pos, layer, interpret=interpret)
+        updated = kv_append_pallas(
+            k_new, v_new, cache_k, cache_v, pos, layer,
+            k_scale=k_scale, v_scale=v_scale, interpret=interpret)
+        if quantized:
+            cache_k, cache_v, k_scale, v_scale = updated
+        else:
+            cache_k, cache_v = updated
         out = flash_decode_pallas(q, cache_k, cache_v, pos, layer, scale,
-                                  alibi_slopes, interpret=interpret)
+                                  alibi_slopes, k_scale=k_scale,
+                                  v_scale=v_scale, interpret=interpret)
     else:
-        cache_k, cache_v = kv_append_xla(k_new, v_new, cache_k, cache_v,
-                                         pos, layer)
+        updated = kv_append_xla(k_new, v_new, cache_k, cache_v, pos, layer,
+                                k_scale=k_scale, v_scale=v_scale)
+        if quantized:
+            cache_k, cache_v, k_scale, v_scale = updated
+        else:
+            cache_k, cache_v = updated
         out = flash_decode_xla(q, cache_k, cache_v, pos, layer, scale,
-                               alibi_slopes)
+                               alibi_slopes, k_scale=k_scale,
+                               v_scale=v_scale)
+    if quantized:
+        return out, cache_k, cache_v, k_scale, v_scale
     return out, cache_k, cache_v

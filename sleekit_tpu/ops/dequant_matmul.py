@@ -83,6 +83,43 @@ def _kernel(x_ref, w_ref, scale_ref, lut_ref, o_ref, *,
         o_ref[:] = o_ref[:] * scale_ref[0, :][None, :]
 
 
+def _mantissa_kernel(x_ref, w_ref, o_ref, *, nbits, vpw, compute_dtype):
+    """Dequant via float-bit construction: the VPU hot loop.
+
+    Instead of int->float convert + multiply-add per element, place the
+    n-bit index straight into the f32 mantissa: bits = 0x3F800000 |
+    (idx << (23 - nbits)) reinterprets as 1 + idx / 2^nbits, exactly.
+    Per plane that is one shift + and + or + (free) bitcast + one bf16
+    cast - the convert/mul/add of the affine path disappear. The affine
+    correction w = step*2^nbits*(c - 1) + zero is linear, so it is folded
+    OUTSIDE the kernel into y = (a*(x@C) + b*sum(x)) * scale (one fused
+    elementwise pass over the (M, N) output).
+    """
+    k_step = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    words = w_ref[:]  # (PLANE_GROUP, BN) int32, plane-major tile
+    shift = 23 - nbits
+    fmask = jnp.int32(((1 << nbits) - 1) << shift)
+    one = jnp.int32(0x3F800000)
+    planes = []
+    for j in range(vpw):
+        s = shift - nbits * j
+        if s >= 0:
+            t = lax.shift_left(words, jnp.int32(s)) & fmask
+        else:
+            t = lax.shift_right_logical(words, jnp.int32(-s)) & fmask
+        planes.append(t | one)
+    c = lax.bitcast_convert_type(jnp.concatenate(planes, axis=0),
+                                 jnp.float32).astype(compute_dtype)
+    o_ref[:] += jnp.dot(x_ref[:].astype(compute_dtype), c,
+                        preferred_element_type=jnp.float32)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -105,13 +142,41 @@ def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
     x_p = jnp.zeros((m_pad, k_pad), x.dtype)
     x_p = lax.dynamic_update_slice(x_p, x, (0, 0))
     packed_p = jnp.pad(packed, ((0, kw_pad - kw), (0, n_pad - n)))
-    scale_p = jnp.pad(scale, (0, n_pad - n)).reshape(1, n_pad)
-    lut_p = lut.reshape(1, ksize)
 
     grid = (n_pad // bn, kw_pad // PLANE_GROUP)
     # bf16 inputs take the bf16 MXU fast path; f32 inputs keep full
     # precision (parity with the XLA oracle).
     compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+    # Mantissa-bit dequant (see _mantissa_kernel): exact while the index
+    # fits the compute mantissa (bf16: 7 bits). The affine correction and
+    # per-channel scale apply outside as one fused elementwise pass.
+    if affine is not None and nbits <= 7:
+        kernel = functools.partial(
+            _mantissa_kernel, nbits=nbits, vpw=vpw,
+            compute_dtype=compute_dtype)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((m_pad, bk), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((PLANE_GROUP, bn), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m_pad, bn), lambda i, j: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+            interpret=interpret,
+        )(x_p, packed_p)[:m, :n]
+        step, zero = affine
+        a = step * float(2 ** nbits)
+        b = zero - a
+        xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        return (a * out + b * xs) * scale[None, :]
+
+    scale_p = jnp.pad(scale, (0, n_pad - n)).reshape(1, n_pad)
+    lut_p = lut.reshape(1, ksize)
     kernel = functools.partial(
         _kernel, nbits=nbits, vpw=vpw, ksize=ksize, affine=affine,
         compute_dtype=compute_dtype)

@@ -10,6 +10,7 @@ all-reduce over ``model`` (Megatron-style column/row split pairs).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict
 
 import jax
@@ -37,7 +38,7 @@ def make_mesh(data: int = 1, model: int = 1,
 # Column-parallel linears: output dim sharded over 'model' (their outputs
 # are head-/ff-sharded activations). Row-parallel linears: input dim
 # sharded; GSPMD inserts the all-reduce on their output.
-_COL_PARALLEL = ("q", "k", "v", "fc1", "gate", "up")
+_COL_PARALLEL = ("q", "k", "v", "fc1", "gate", "up", "qkv", "gate_up")
 _ROW_PARALLEL = ("o", "fc2", "down")
 
 
@@ -100,6 +101,36 @@ def param_specs(cfg: TransformerConfig, params) -> Any:
     return specs
 
 
+def param_specs_stacked(cfg: TransformerConfig, params) -> Any:
+    """param_specs for the scan_layers stacked layout: per-layer linear
+    specs gain a leading (layer-axis) None dim."""
+    stacked = params["layers"]
+
+    def one_layer_specs(layer):
+        return {
+            "ln1": {k: P(None) for k in layer["ln1"]},
+            "ln2": {k: P(None) for k in layer["ln2"]},
+            "attn": {k: _prepend_dim(_linear_spec(k, v))
+                     for k, v in layer["attn"].items()},
+            "mlp": {k: _prepend_dim(_linear_spec(k, v))
+                    for k, v in layer["mlp"].items()},
+        }
+
+    def _prepend_dim(spec):
+        def pre(p):
+            return P(None, *p) if isinstance(p, P) else p
+        if isinstance(spec, PackedLinear):
+            return dataclasses.replace(
+                spec, packed=pre(spec.packed), scale=pre(spec.scale),
+                lut=pre(spec.lut),
+                bias=None if spec.bias is None else pre(spec.bias))
+        return {k: pre(v) for k, v in spec.items()}
+
+    specs = param_specs(cfg, {**params, "layers": []})
+    specs["layers"] = one_layer_specs(stacked)
+    return specs
+
+
 def stats_specs(stats) -> Any:
     """Calibration statistics are replicated (psum'd over 'data' by GSPMD
     when the batch is data-sharded)."""
@@ -107,13 +138,19 @@ def stats_specs(stats) -> Any:
 
 
 def kv_cache_specs(cache) -> Any:
-    """KV cache ((B, KV, S, D) per layer, or stacked (L, B, KV, S, D)):
-    batch over 'data', kv heads over 'model'."""
+    """KV cache ((B, KV, S, D) per layer, or stacked (L, B, KV, S, D),
+    plus per-token scale planes when int8-quantized): batch over 'data',
+    kv heads over 'model'."""
+    def leaf_spec(x, stacked):
+        lead = (None,) if stacked else ()
+        # values are (..., B, KV, S, D); scale planes (..., B, KV, S)
+        tail = (None, None) if x.ndim == len(lead) + 4 else (None,)
+        return P(*lead, "data", "model", *tail)
+
     if isinstance(cache, dict):  # stacked scan_layers layout
-        spec = P(None, "data", "model", None, None)
-        return {"k": spec, "v": spec}
-    return [{"k": P("data", "model", None, None),
-             "v": P("data", "model", None, None)} for _ in cache]
+        return {k: leaf_spec(v, True) for k, v in cache.items()}
+    return [{k: leaf_spec(v, False) for k, v in entry.items()}
+            for entry in cache]
 
 
 def shard_pytree(tree, specs, mesh: Mesh):

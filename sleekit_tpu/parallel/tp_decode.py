@@ -1,0 +1,173 @@
+"""Tensor-parallel decode via ``shard_map``: explicit Megatron-style TP.
+
+GSPMD (NamedSharding on params + pjit) handles the calibration and
+full-forward paths, but the serving decode step uses Pallas kernels
+(ops/attention.py, ops/dequant_matmul.py) which GSPMD cannot partition.
+``tp_decode_step`` runs the SAME single-device decode code inside a
+``shard_map`` block instead: every device executes the kernels on its
+head/ff shard and exactly two ``psum``s per layer (after the attention
+output projection and after the MLP down projection) ride the ICI -
+the standard column-then-row parallel pattern, expressed TPU-native.
+
+Sharding contract (mesh axes ('data', 'model'), SURVEY.md §2.3):
+  * q/k/v, fc1 (gate/up): output-dim sharded over 'model' (heads / ff);
+  * o, fc2 (down): input-dim sharded, partial outputs psum'd; their
+    biases are replicated and added once after the psum;
+  * KV cache: kv-head axis sharded; the flash kernels see local heads;
+  * embed/unembed, norms: replicated; batch: sharded over 'data'.
+
+Requires UNFUSED q/k/v params (fusion concatenates across the shard
+boundary; use fuse_qkv_params only for single-shard serving).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from sleekit_tpu.models.transformer import (
+    TransformerConfig,
+    _embed,
+    _unembed,
+    alibi_slopes,
+    apply_linear,
+    apply_norm,
+)
+from sleekit_tpu.ops.attention import decode_attention
+from sleekit_tpu.parallel.mesh import param_specs, kv_cache_specs
+
+
+def _local_cfg(cfg: TransformerConfig, n: int) -> TransformerConfig:
+    assert cfg.n_heads % n == 0 and cfg.kv_heads % n == 0, (
+        f"{cfg.n_heads} heads / {cfg.kv_heads} kv heads not divisible by "
+        f"model-parallel size {n}")
+    return dataclasses.replace(cfg, n_heads=cfg.n_heads // n,
+                               n_kv_heads=cfg.kv_heads // n)
+
+
+def _strip_row_bias(p):
+    """Remove the bias from a row-parallel linear (added after the psum)."""
+    if isinstance(p, dict) and "bias" in p:
+        return {"kernel": p["kernel"]}, p["bias"]
+    if hasattr(p, "bias") and p.bias is not None:
+        return dataclasses.replace(p, bias=None), p.bias
+    return p, None
+
+
+def _tp_block(cfg, lcfg, layer, x, entry, pos_vec, lidx, axis, slopes):
+    """One decode block on the LOCAL head shard; psums over ``axis``."""
+    b = x.shape[0]
+    hd = cfg.head_dim
+    h_in = apply_norm(cfg, layer["ln1"], x) if cfg.pre_norm else x
+    q = apply_linear(layer["attn"]["q"], h_in)
+    k = apply_linear(layer["attn"]["k"], h_in)
+    v = apply_linear(layer["attn"]["v"], h_in)
+    q = q.reshape(b, 1, lcfg.n_heads, hd)
+    k = k.reshape(b, 1, lcfg.kv_heads, hd)
+    v = v.reshape(b, 1, lcfg.kv_heads, hd)
+
+    if cfg.positional == "rope":
+        from sleekit_tpu.models.transformer import apply_rope, rope_freqs
+        cos, sin = rope_freqs(cfg, pos_vec[:, None])
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    res = decode_attention(
+        q[:, 0], k[:, 0], v[:, 0], entry["k"], entry["v"], pos_vec, lidx,
+        scale=1.0 / math.sqrt(hd), alibi_slopes=slopes,
+        k_scale=entry.get("k_scale"), v_scale=entry.get("v_scale"))
+    attn = res[0].reshape(b, 1, lcfg.n_heads * hd)
+    new_entry = {"k": res[1], "v": res[2]}
+    if len(res) == 5:
+        new_entry["k_scale"], new_entry["v_scale"] = res[3], res[4]
+
+    o_p, o_bias = _strip_row_bias(layer["attn"]["o"])
+    attn = lax.psum(apply_linear(o_p, attn), axis)
+    if o_bias is not None:
+        attn = attn + o_bias
+    x = x + attn
+    if not cfg.pre_norm:
+        x = apply_norm(cfg, layer["ln1"], x)
+
+    h = apply_norm(cfg, layer["ln2"], x) if cfg.pre_norm else x
+    if cfg.activation == "silu_glu":
+        gate = apply_linear(layer["mlp"]["gate"], h)
+        up = apply_linear(layer["mlp"]["up"], h)
+        h = jax.nn.silu(gate) * up
+        d_p, d_bias = _strip_row_bias(layer["mlp"]["down"])
+        h = lax.psum(apply_linear(d_p, h), axis)
+        if d_bias is not None:
+            h = h + d_bias
+    else:
+        h = apply_linear(layer["mlp"]["fc1"], h)
+        h = jax.nn.relu(h) if cfg.activation == "relu" else jax.nn.gelu(h)
+        f2_p, f2_bias = _strip_row_bias(layer["mlp"]["fc2"])
+        h = lax.psum(apply_linear(f2_p, h), axis)
+        if f2_bias is not None:
+            h = h + f2_bias
+    x = x + h
+    if not cfg.pre_norm:
+        x = apply_norm(cfg, layer["ln2"], x)
+    return x, new_entry
+
+
+def tp_decode_step(cfg: TransformerConfig, params, tokens, cache, pos,
+                   mesh: Mesh, axis: str = "model"):
+    """One decode step, tensor-parallel over ``axis`` and batch-parallel
+    over 'data'. Same semantics as transformer.decode_step; the Pallas
+    kernels run per shard. tokens (B, 1); pos scalar or (B,)."""
+    n = mesh.shape[axis]
+    lcfg = _local_cfg(cfg, n)
+    slopes_full = (jnp.asarray(alibi_slopes(cfg.n_heads))
+                   if cfg.positional == "alibi" else None)
+
+    from sleekit_tpu.parallel.mesh import param_specs_stacked
+    if cfg.scan_layers:
+        pspecs = param_specs_stacked(cfg, params)
+    else:
+        pspecs = param_specs(cfg, params)
+    cspecs = kv_cache_specs(cache)
+    dspec = P("data")
+    pos = jnp.broadcast_to(jnp.asarray(pos), (tokens.shape[0],))
+
+    def local(params, tokens, cache, pos_vec, slopes):
+        x = _embed(cfg, params, tokens, pos_vec[:, None])
+        if cfg.scan_layers:
+            def body(carry, inp):
+                x, entry = carry
+                layer, lidx = inp
+                x, entry = _tp_block(cfg, lcfg, layer, x, entry, pos_vec,
+                                     lidx, axis, slopes)
+                return (x, entry), None
+            (x, entry), _ = lax.scan(
+                body, (x, dict(cache)),
+                (params["layers"], jnp.arange(cfg.n_layers)))
+            new_cache = entry
+        else:
+            new_cache = []
+            for i, layer in enumerate(params["layers"]):
+                entry = {k: v[None] for k, v in cache[i].items()}
+                x, entry = _tp_block(cfg, lcfg, layer, x, entry, pos_vec,
+                                     jnp.int32(0), axis, slopes)
+                new_cache.append({k: v[0] for k, v in entry.items()})
+        logits = _unembed(cfg, params, x)
+        return logits[:, 0, :], new_cache
+
+    slope_args = () if slopes_full is None else (slopes_full,)
+    slope_specs = () if slopes_full is None else (P(axis),)
+    fn = shard_map(
+        lambda p, t, c, ps, *s: local(p, t, c, ps, s[0] if s else None),
+        mesh=mesh,
+        in_specs=(pspecs, dspec, cspecs, dspec, *slope_specs),
+        out_specs=(P("data"), cspecs),
+        check_vma=False,
+    )
+    return fn(params, tokens, cache, pos, *slope_args)

@@ -62,25 +62,20 @@ def _bucket(n: int, lo: int = 16) -> int:
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
 def _splice_cache(cfg: TransformerConfig, slot_cache, pool_cache, slot: jnp.ndarray):
-    """Write a (1, T, H, D)-per-layer prefill cache into pool slot
-    ``slot``. Handles both the per-layer list layout and the stacked
-    scan_layers layout ((L, B, T, H, D) arrays)."""
+    """Write a one-row prefill cache into pool slot ``slot``. Handles the
+    per-layer list and stacked scan_layers layouts, and the extra
+    per-token scale leaves of the int8-quantized cache."""
+    def splice(pool, row, batch_axis):
+        start = tuple(slot if a == batch_axis else 0
+                      for a in range(pool.ndim))
+        return jax.lax.dynamic_update_slice(
+            pool, row.astype(pool.dtype), start)
+
     if cfg.scan_layers:
-        k = jax.lax.dynamic_update_slice(
-            pool_cache["k"], slot_cache["k"].astype(pool_cache["k"].dtype),
-            (0, slot, 0, 0, 0))
-        v = jax.lax.dynamic_update_slice(
-            pool_cache["v"], slot_cache["v"].astype(pool_cache["v"].dtype),
-            (0, slot, 0, 0, 0))
-        return {"k": k, "v": v}
-    out = []
-    for lc, pc in zip(slot_cache, pool_cache):
-        k = jax.lax.dynamic_update_slice(
-            pc["k"], lc["k"].astype(pc["k"].dtype), (slot, 0, 0, 0))
-        v = jax.lax.dynamic_update_slice(
-            pc["v"], lc["v"].astype(pc["v"].dtype), (slot, 0, 0, 0))
-        out.append({"k": k, "v": v})
-    return out
+        return {key: splice(pool_cache[key], slot_cache[key], 1)
+                for key in pool_cache}
+    return [{key: splice(pc[key], lc[key], 0) for key in pc}
+            for lc, pc in zip(slot_cache, pool_cache)]
 
 
 @partial(jax.jit, static_argnames=())

@@ -18,13 +18,20 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
-# Persistent compile cache: the suite jits hundreds of programs; caching
-# them across runs cuts a full-suite run from >20 min to a few minutes.
-# Keyed by backend so CPU artifacts never mix with the TPU cache.
-_cache_root = os.environ.get("JAX_CACHE_DIR",
-                             os.path.join(os.path.dirname(__file__), "..",
-                                          ".jax_cache"))
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.abspath(_cache_root), "cpu"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# NOTE: do NOT enable the persistent compilation cache here. CPU AOT
+# executables are not reliably deserializable across processes (observed
+# segfaults in compilation_cache.get_executable_and_time); the cache is
+# TPU-only and lives in bench.py / profile_decode.py.
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound live compiled executables: the full suite jits hundreds of
+    programs and XLA:CPU has been observed to abort (Fatal Python error
+    inside backend_compile_and_load) late in a long single-process run.
+    Dropping executables between modules keeps the process small; within
+    a module the tracing/executable caches still amortize."""
+    yield
+    jax.clear_caches()

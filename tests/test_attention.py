@@ -107,3 +107,88 @@ def test_decode_step_uses_new_layout_end_to_end():
     np.testing.assert_allclose(np.asarray(step_logits),
                                np.asarray(ref_logits[:, 8]),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("block_s", [8, 16])
+def test_flash_decode_online_softmax_blocks(block_s):
+    """Multi-block S streaming (online softmax) equals single-pass."""
+    ck, cv, kn, vn, q, pos = _setup(S=64, G=2)
+    layer = jnp.int32(1)
+    scale = 1.0 / np.sqrt(ck.shape[-1])
+    o_ref = flash_decode_xla(q, ck, cv, pos, layer, scale)
+    o_blk = flash_decode_pallas(q, ck, cv, pos, layer, scale,
+                                block_s=block_s, interpret=True)
+    np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_blk),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_kv_kernels_match_oracle():
+    ck, cv, kn, vn, q, pos = _setup(S=32, G=2)
+    L, B, KV, S, D = ck.shape
+    ck8 = jnp.zeros(ck.shape, jnp.int8)
+    cv8 = jnp.zeros(cv.shape, jnp.int8)
+    ks = jnp.zeros((L, B, KV, S), jnp.float32)
+    vs = jnp.zeros((L, B, KV, S), jnp.float32)
+    layer = jnp.int32(1)
+    r1 = kv_append_xla(kn, vn, ck8, cv8, pos, layer, k_scale=ks, v_scale=vs)
+    r2 = kv_append_pallas(kn, vn, ck8, cv8, pos, layer, k_scale=ks,
+                          v_scale=vs, interpret=True)
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    ck8, cv8, ks, vs = r1
+    scale = 1.0 / np.sqrt(D)
+    o1 = flash_decode_xla(q, ck8, cv8, pos, layer, scale,
+                          k_scale=ks, v_scale=vs)
+    o2 = flash_decode_pallas(q, ck8, cv8, pos, layer, scale,
+                             k_scale=ks, v_scale=vs, interpret=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("scan_layers", [False, True])
+def test_int8_kv_cache_end_to_end(scan_layers):
+    """decode with an int8 cache tracks the f32-cache decode closely."""
+    from sleekit_tpu.models.transformer import (
+        decode_step, init_kv_cache, init_params, prefill,
+        stack_layer_params)
+    from sleekit_tpu.models.zoo import tiny_test
+
+    cfg = tiny_test(d_model=64, n_heads=4, n_layers=2, d_ff=96,
+                    vocab_size=97, scan_layers=scan_layers)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    if scan_layers:
+        params = stack_layer_params(params)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 97)
+
+    outs = {}
+    for dtype in (jnp.float32, jnp.int8):
+        cache = init_kv_cache(cfg, 2, 16, dtype)
+        logits, cache = prefill(cfg, params, tokens, cache)
+        step_logits, _ = decode_step(
+            cfg, params, jnp.argmax(logits[:, -1:], -1).astype(jnp.int32),
+            cache, jnp.int32(8))
+        outs[dtype] = np.asarray(step_logits)
+    ref, got = outs[jnp.float32], outs[jnp.int8]
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_engine_int8_cache_matches_f32():
+    from sleekit_tpu.models.transformer import init_params
+    from sleekit_tpu.models.zoo import tiny_test
+    from sleekit_tpu.serve.engine import Engine, Request
+
+    cfg = tiny_test(d_model=32, n_heads=2, n_layers=2, d_ff=48,
+                    vocab_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    prompt = np.asarray([3, 1, 4, 1, 5], np.int32)
+    outs = []
+    for dt in (jnp.float32, jnp.int8):
+        eng = Engine(cfg, params, max_slots=2, max_seq_len=64,
+                     cache_dtype=dt)
+        [c] = eng.run([Request(prompt=prompt, max_new_tokens=10)])
+        outs.append(c.new_tokens)
+    agree = (outs[0] == outs[1]).mean()
+    assert agree >= 0.8, agree

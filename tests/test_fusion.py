@@ -47,3 +47,18 @@ def test_fused_decode_matches_forward():
     out_ref = generate_fused(cfg, params, prompt, 6)
     out_fused = generate_fused(cfg, fused, prompt, 6)
     assert np.array_equal(np.asarray(out_ref), np.asarray(out_fused))
+
+
+def test_packed_lm_head_matches_dense():
+    from sleekit_tpu.models.quantize import pack_lm_head
+    cfg = tiny_test(d_model=32, n_heads=2, n_layers=1, d_ff=48,
+                    vocab_size=128)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    packed = pack_lm_head(cfg, params, nbits=8)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 9), 0, 128)
+    ref = np.asarray(forward(cfg, params, tokens))
+    got = np.asarray(forward(cfg, packed, tokens))
+    # int8 RTN head: logits nearly identical, argmax fully preserved.
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() > 0.99
