@@ -44,17 +44,24 @@ def random_packed_params(cfg: TransformerConfig, key,
     one. Returns (params, codebook). ``fuse_qkv`` applies the serving-time
     q|k|v (and gate|up) fusion before stacking."""
     codebook = codebook or UniformCodebook(16, -1.0, 1.0)
-    params = init_params(cfg, key)
-    for name in layer_names(cfg):
-        p = get_linear_param(params, name)
-        kern = p["kernel"]
-        key, sub = jax.random.split(key)
-        set_linear_param(params, name, random_packed_linear(
-            sub, kern.shape[0], kern.shape[1], codebook))
-    if fuse_qkv:
-        from sleekit_tpu.models.transformer import fuse_qkv_params
-        params = fuse_qkv_params(cfg, params)
-    if cfg.scan_layers:
-        from sleekit_tpu.models.transformer import stack_layer_params
-        params = stack_layer_params(params)
+    # Build on the host CPU: materializing the DENSE model on a TPU only
+    # to throw its kernels away would peak at full-model bf16 HBM (OOM
+    # for 8B-class models on one v5e chip). Only the packed result ships.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_params(cfg, key)
+        for name in layer_names(cfg):
+            p = get_linear_param(params, name)
+            kern = p["kernel"]
+            key, sub = jax.random.split(key)
+            set_linear_param(params, name, random_packed_linear(
+                sub, kern.shape[0], kern.shape[1], codebook))
+        if fuse_qkv:
+            from sleekit_tpu.models.transformer import fuse_qkv_params
+            params = fuse_qkv_params(cfg, params)
+        if cfg.scan_layers:
+            from sleekit_tpu.models.transformer import stack_layer_params
+            params = stack_layer_params(params)
+    if jax.default_backend() != "cpu":
+        params = jax.device_put(params)
     return params, codebook

@@ -362,22 +362,34 @@ def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
                           v.transpose(0, 2, 1, 3), bias)
     elif len(kv_write) == 4:
         # Single-token decode against the FULL cache: in-place KV append +
-        # flash attention, zero cache copies (ops/attention.py).
-        from sleekit_tpu.ops.attention import decode_attention
-
+        # flash attention, zero cache copies (ops/attention.py). With a
+        # "page_table" in the entry the cache is a shared page pool
+        # (ops/paged_attention.py).
         entry, pos_vec, lidx = kv_write[1], kv_write[2], kv_write[3]
         slopes = (jnp.asarray(alibi_slopes(cfg.n_heads))
                   if cfg.positional == "alibi" else None)
-        res = decode_attention(
-            q[:, 0], k[:, 0], v[:, 0], entry["k"], entry["v"],
-            pos_vec, lidx,
-            scale=1.0 / math.sqrt(cfg.head_dim), alibi_slopes=slopes,
-            k_scale=entry.get("k_scale"), v_scale=entry.get("v_scale"))
+        paged = "page_table" in entry
+        common = dict(scale=1.0 / math.sqrt(cfg.head_dim),
+                      alibi_slopes=slopes,
+                      k_scale=entry.get("k_scale"),
+                      v_scale=entry.get("v_scale"))
+        if paged:
+            from sleekit_tpu.ops.paged_attention import paged_decode_attention
+            res = paged_decode_attention(
+                q[:, 0], k[:, 0], v[:, 0], entry["k"], entry["v"],
+                entry["page_table"], pos_vec, lidx, **common)
+        else:
+            from sleekit_tpu.ops.attention import decode_attention
+            res = decode_attention(
+                q[:, 0], k[:, 0], v[:, 0], entry["k"], entry["v"],
+                pos_vec, lidx, **common)
         attn = res[0][:, None]
-        entry = {"k": res[1], "v": res[2]}
+        new_entry = {"k": res[1], "v": res[2]}
         if len(res) == 5:
-            entry["k_scale"], entry["v_scale"] = res[3], res[4]
-        kv_write = entry
+            new_entry["k_scale"], new_entry["v_scale"] = res[3], res[4]
+        if paged:
+            new_entry["page_table"] = entry["page_table"]
+        kv_write = new_entry
     else:
         # Prefill: contiguous slice write from a uniform start position.
         from sleekit_tpu.ops.attention import _quant_rows
@@ -623,6 +635,15 @@ def _run_layers_decode(cfg, params, x, positions, cache, pos):
             body, (x, dict(cache)),
             (params["layers"], jnp.arange(cfg.n_layers)))
         return x, entry
+    if isinstance(cache, dict):
+        # Paged (or otherwise stacked) cache with an unrolled layer loop:
+        # the pools hold all layers; pass the layer index through.
+        entry = dict(cache)
+        for i, layer in enumerate(params["layers"]):
+            x, entry, _ = _block(cfg, layer, x, positions,
+                                 ("decode", entry, pos_vec, jnp.int32(i)),
+                                 None, i)
+        return x, entry
     new_cache = []
     for i, layer in enumerate(params["layers"]):
         entry = {k: v[None] for k, v in cache[i].items()}
@@ -631,6 +652,24 @@ def _run_layers_decode(cfg, params, x, positions, cache, pos):
                              None, i)
         new_cache.append({k: v[0] for k, v in entry.items()})
     return x, new_cache
+
+
+def init_paged_kv_cache(cfg: TransformerConfig, total_pages: int,
+                        page_size: int, slots: int, max_pages_per_seq: int,
+                        dtype=jnp.float32):
+    """Paged KV cache: a shared page pool (L, P, KV, PS, D) plus a page
+    table (slots, max_pages_per_seq) int32 (ops/paged_attention.py).
+    ``dtype=jnp.int8`` adds per-token scale planes. Unallocated table
+    entries hold page 0 (a valid address; their columns are masked)."""
+    pool = (cfg.n_layers, total_pages, cfg.kv_heads, page_size,
+            cfg.head_dim)
+    out = {"k": jnp.zeros(pool, dtype), "v": jnp.zeros(pool, dtype),
+           "page_table": jnp.zeros((slots, max_pages_per_seq), jnp.int32)}
+    if dtype == jnp.int8:
+        sshape = pool[:-1]
+        out["k_scale"] = jnp.zeros(sshape, jnp.float32)
+        out["v_scale"] = jnp.zeros(sshape, jnp.float32)
+    return out
 
 
 def _run_layers_prefill(cfg, params, x, positions, cache, write_pos):

@@ -32,7 +32,9 @@ from sleekit_tpu.models.transformer import (
     TransformerConfig,
     decode_step,
     init_kv_cache,
+    init_paged_kv_cache,
     prefill,
+    stack_layer_params,
 )
 
 
@@ -78,6 +80,42 @@ def _splice_cache(cfg: TransformerConfig, slot_cache, pool_cache, slot: jnp.ndar
             for lc, pc in zip(slot_cache, pool_cache)]
 
 
+def _stack_cache(cfg: TransformerConfig, tmp_cache):
+    """Per-layer-list prefill cache -> stacked (L, ...) arrays (the page
+    pool's layer layout). Scan-mode caches are already stacked."""
+    if cfg.scan_layers:
+        return tmp_cache
+    keys = tmp_cache[0].keys()
+    return {k: jnp.stack([e[k] for e in tmp_cache]) for k in keys}
+
+
+@partial(jax.jit, static_argnames=("cfg", "ps"), donate_argnums=(2,))
+def _splice_page(cfg: TransformerConfig, stacked, pool_cache, row,
+                 j, page_id, ps: int):
+    """Copy logical page ``j`` of prefill row ``row`` into physical page
+    ``page_id`` of the pool (all layers, one fused program)."""
+    out = dict(pool_cache)
+    for key in pool_cache:
+        if key == "page_table":
+            continue
+        src = stacked[key]
+        if src.ndim == 5:                      # values (L, R, KV, T, D)
+            L, R, KV, T, D = src.shape
+            sl = jax.lax.dynamic_slice(
+                src, (0, row, 0, j * ps, 0), (L, 1, KV, ps, D))
+            out[key] = jax.lax.dynamic_update_slice(
+                pool_cache[key], sl.astype(pool_cache[key].dtype),
+                (0, page_id, 0, 0, 0))
+        else:                                  # scales (L, R, KV, T)
+            L, R, KV, T = src.shape
+            sl = jax.lax.dynamic_slice(
+                src, (0, row, 0, j * ps), (L, 1, KV, ps))
+            out[key] = jax.lax.dynamic_update_slice(
+                pool_cache[key], sl.astype(pool_cache[key].dtype),
+                (0, page_id, 0, 0))
+    return out
+
+
 @partial(jax.jit, static_argnames=())
 def _sample(logits, temps, key):
     """Per-slot greedy/temperature sampling in one program."""
@@ -92,12 +130,34 @@ class Engine:
 
     def __init__(self, cfg: TransformerConfig, params, max_slots: int = 8,
                  max_seq_len: int = 512, cache_dtype=jnp.float32,
-                 seed: int = 0, fused_steps: int = 8):
+                 seed: int = 0, fused_steps: int = 8,
+                 paged: bool = False, page_size: int = 64,
+                 total_pages: Optional[int] = None):
         self.cfg = cfg
         self.params = params
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len
-        self.cache = init_kv_cache(cfg, max_slots, max_seq_len, cache_dtype)
+        self.paged = paged
+        if paged:
+            assert max_seq_len % page_size == 0
+            self.page_size = page_size
+            self.max_pages = max_seq_len // page_size
+            # Default pool = half the dense reservation: the whole point
+            # of paging is that mixed-length sequences rarely need the
+            # worst case. Admission blocks (queues) when the pool is dry.
+            self.total_pages = total_pages or max(
+                self.max_pages, max_slots * self.max_pages // 2)
+            self.cache = init_paged_kv_cache(
+                cfg, self.total_pages, page_size, max_slots,
+                self.max_pages, cache_dtype)
+            # Page 0 is the reserved trash page: inactive slots' table
+            # rows point at it, so their garbage decode appends never
+            # touch pages owned by live sequences.
+            self._free_pages = list(range(1, self.total_pages))
+            self._slot_pages: Dict[int, List[int]] = {}
+        else:
+            self.cache = init_kv_cache(cfg, max_slots, max_seq_len,
+                                       cache_dtype)
         self.cache_dtype = cache_dtype
         self.key = jax.random.PRNGKey(seed)
         # When every active slot is greedy with >= fused_steps budget and
@@ -180,15 +240,33 @@ class Engine:
 
     # ---- internals ----------------------------------------------------
 
+    def _pages_needed(self, req: Request) -> int:
+        total = len(req.prompt) + req.max_new_tokens
+        return -(-total // self.page_size)
+
     def _admit(self) -> None:
         """Admit queued requests into free slots, batching the prefill:
         one device program per (padded-count, length-bucket) group instead
-        of one per request."""
+        of one per request. In paged mode admission additionally waits for
+        enough free pages (FIFO: the head of the queue blocks)."""
         free = [i for i in range(self.max_slots) if self.slot_req[i] is None]
-        take = min(len(free), len(self.queue))
-        if not take:
+        admitted = []
+        for slot in free:
+            if not self.queue:
+                break
+            if self.paged:
+                needed = self._pages_needed(self.queue[0])
+                if needed > len(self._free_pages):
+                    break
+                pages = [self._free_pages.pop() for _ in range(needed)]
+                self._slot_pages[slot] = pages
+                row = np.zeros(self.max_pages, np.int32)
+                row[:needed] = pages
+                self.cache["page_table"] = (
+                    self.cache["page_table"].at[slot].set(row))
+            admitted.append((slot, self.queue.pop(0)))
+        if not admitted:
             return
-        admitted = [(free[i], self.queue.pop(0)) for i in range(take)]
         groups: Dict[int, list] = {}
         for slot, req in admitted:
             bucket = min(_bucket(len(req.prompt)), self.max_seq_len)
@@ -215,14 +293,31 @@ class Engine:
             for r, (slot, req) in enumerate(items):
                 # Batch axis is 1 in the stacked scan layout ((L, B, ...)),
                 # 0 in the per-layer list layout.
-                if self.cfg.scan_layers:
-                    row_cache = jax.tree_util.tree_map(
-                        lambda x, r=r: x[:, r:r + 1], tmp_cache)
+                if self.paged:
+                    n_pages = -(-lengths[r] // self.page_size)
+                    stacked = _stack_cache(self.cfg, tmp_cache)
+                    padded_t = -(-bucket // self.page_size) * self.page_size
+                    if padded_t != bucket:
+                        stacked = {
+                            k: jnp.pad(v, [(0, 0)] * 3
+                                       + [(0, padded_t - bucket)]
+                                       + [(0, 0)] * (v.ndim - 4))
+                            for k, v in stacked.items()}
+                    for j in range(n_pages):
+                        self.cache = _splice_page(
+                            self.cfg, stacked, self.cache, jnp.int32(r),
+                            jnp.int32(j),
+                            jnp.int32(self._slot_pages[slot][j]),
+                            self.page_size)
                 else:
-                    row_cache = jax.tree_util.tree_map(
-                        lambda x, r=r: x[r:r + 1], tmp_cache)
-                self.cache = _splice_cache(self.cfg, row_cache, self.cache,
-                                           jnp.int32(slot))
+                    if self.cfg.scan_layers:
+                        row_cache = jax.tree_util.tree_map(
+                            lambda x, r=r: x[:, r:r + 1], tmp_cache)
+                    else:
+                        row_cache = jax.tree_util.tree_map(
+                            lambda x, r=r: x[r:r + 1], tmp_cache)
+                    self.cache = _splice_cache(self.cfg, row_cache,
+                                               self.cache, jnp.int32(slot))
                 nxt = int(firsts[r])
                 prompt = np.asarray(req.prompt, np.int32)
                 self.slot_req[slot] = req
@@ -251,6 +346,13 @@ class Engine:
             self.slot_req[slot] = None
             self.slot_tokens[slot] = []
             self.slot_new[slot] = []
+            if self.paged and slot in self._slot_pages:
+                # Return pages to the pool; park the slot on the trash
+                # page so its garbage appends stay harmless.
+                self._free_pages.extend(self._slot_pages.pop(slot))
+                self.cache["page_table"] = (
+                    self.cache["page_table"].at[slot].set(
+                        jnp.zeros(self.max_pages, jnp.int32)))
 
     def step(self) -> None:
         """One engine iteration: admit new requests, one decode step for
