@@ -63,5 +63,7 @@ def random_packed_params(cfg: TransformerConfig, key,
             from sleekit_tpu.models.transformer import stack_layer_params
             params = stack_layer_params(params)
     if jax.default_backend() != "cpu":
-        params = jax.device_put(params)
+        # Explicit target: device_put(tree) with device=None would leave
+        # the CPU-committed arrays where they are.
+        params = jax.device_put(params, jax.devices()[0])
     return params, codebook
