@@ -49,8 +49,8 @@ def main(argv=None):
     from sleekit_tpu.models.eval import decode_scan
     from sleekit_tpu.models.fake_quant import random_packed_params
     from sleekit_tpu.models.transformer import (
-        _attention, _causal_bias, _embed, _unembed, apply_linear, apply_norm,
-        init_kv_cache, init_params, stack_layer_params)
+        _embed, apply_linear, init_kv_cache, init_params,
+        stack_layer_params)
     from sleekit_tpu.models.zoo import get_config
 
     cfg = get_config(args.model, dtype=jnp.bfloat16, scan_layers=True)

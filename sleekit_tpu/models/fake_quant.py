@@ -38,6 +38,41 @@ def random_packed_linear(key, in_features: int, out_features: int,
         affine=affine_from_lut(lut), layout="plane")
 
 
+def _fast_packed_linear(rng: np.ndarray, in_features: int,
+                        out_features: int, codebook,
+                        bias: bool) -> PackedLinear:
+    """Random PackedLinear straight from random bits (no dense kernel,
+    no pack step): uniform random words ARE uniform random indices.
+    Index count is rounded up to the pack's plane tile."""
+    from sleekit_tpu.ops.pack import PLANE_GROUP, vals_per_word
+
+    nbits = bits_for_codebook(len(codebook))
+    vpw = vals_per_word(nbits)
+    bk = PLANE_GROUP * vpw
+    kw = -(-in_features // bk) * bk // vpw
+    words = rng.randint(-2 ** 31, 2 ** 31, (kw, out_features),
+                        dtype=np.int64).astype(np.int32)
+    if len(codebook) != 2 ** nbits:
+        # Random bits would produce out-of-range indices; fall back to a
+        # real pack of clipped indices (non-power-of-two codebooks).
+        from sleekit_tpu.native import pack_indices_np
+        idx = rng.randint(0, len(codebook),
+                          (kw * vpw, out_features)).astype(np.uint8)
+        words = pack_indices_np(idx, nbits)
+        # re-tile to the plane layout
+        words = np.asarray(pack_indices(
+            jnp.asarray(idx[:in_features].astype(np.int32)), nbits,
+            layout="plane"))
+    scale = (0.02 * (1.0 + 0.1 * rng.rand(out_features))).astype(np.float32)
+    lut = jnp.asarray(codebook.values, jnp.float32)
+    return PackedLinear(
+        packed=jnp.asarray(words), scale=jnp.asarray(scale),
+        lut=lut,
+        bias=jnp.zeros((out_features,), jnp.float32) if bias else None,
+        in_features=in_features, out_features=out_features, nbits=nbits,
+        affine=affine_from_lut(lut), layout="plane")
+
+
 def random_packed_params(cfg: TransformerConfig, key,
                          codebook=None, fuse_qkv: bool = False):
     """Dense random params with every linear swapped for a random packed
@@ -46,16 +81,20 @@ def random_packed_params(cfg: TransformerConfig, key,
     codebook = codebook or UniformCodebook(16, -1.0, 1.0)
     # Build on the host CPU: materializing the DENSE model on a TPU only
     # to throw its kernels away would peak at full-model bf16 HBM (OOM
-    # for 8B-class models on one v5e chip). Only the packed result ships.
+    # for 8B-class models on one v5e chip). The quantizable linears are
+    # constructed as PackedLinears directly (numpy random bits) - the
+    # dense kernels never exist anywhere. Only the packed result ships.
     cpu = jax.devices("cpu")[0]
+    nprng = np.random.RandomState(
+        int(jax.random.randint(key, (), 0, 2 ** 31 - 1)))
+    use_bias = cfg.norm == "layernorm"
+
+    def factory(k, d_in, d_out, dtype, bias=True):
+        return _fast_packed_linear(nprng, d_in, d_out, codebook,
+                                   bias=bias and use_bias)
+
     with jax.default_device(cpu):
-        params = init_params(cfg, key)
-        for name in layer_names(cfg):
-            p = get_linear_param(params, name)
-            kern = p["kernel"]
-            key, sub = jax.random.split(key)
-            set_linear_param(params, name, random_packed_linear(
-                sub, kern.shape[0], kern.shape[1], codebook))
+        params = init_params(cfg, key, linear_factory=factory)
         if fuse_qkv:
             from sleekit_tpu.models.transformer import fuse_qkv_params
             params = fuse_qkv_params(cfg, params)

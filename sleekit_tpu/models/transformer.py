@@ -81,7 +81,13 @@ def _init_linear(key, d_in, d_out, dtype, bias=True, scale=0.02):
     return p
 
 
-def init_params(cfg: TransformerConfig, key) -> Dict[str, Any]:
+def init_params(cfg: TransformerConfig, key,
+                linear_factory=None) -> Dict[str, Any]:
+    """Random-init parameters. ``linear_factory(key, d_in, d_out, dtype,
+    bias=...)`` overrides how the quantizable linears are built (e.g.
+    fake_quant constructs PackedLinears directly, never materializing the
+    dense kernels - vital for 8B-class models)."""
+    lin = linear_factory or _init_linear
     keys = jax.random.split(key, cfg.n_layers + 4)
     dtype = cfg.dtype
     d = cfg.d_model
@@ -116,22 +122,22 @@ def init_params(cfg: TransformerConfig, key) -> Dict[str, Any]:
             "ln1": norm_p(),
             "ln2": norm_p(),
             "attn": {
-                "q": _init_linear(lk[0], d, d, dtype, bias=use_bias),
-                "k": _init_linear(lk[1], d, kv_dim, dtype, bias=use_bias),
-                "v": _init_linear(lk[2], d, kv_dim, dtype, bias=use_bias),
-                "o": _init_linear(lk[3], d, d, dtype, bias=use_bias),
+                "q": lin(lk[0], d, d, dtype, bias=use_bias),
+                "k": lin(lk[1], d, kv_dim, dtype, bias=use_bias),
+                "v": lin(lk[2], d, kv_dim, dtype, bias=use_bias),
+                "o": lin(lk[3], d, d, dtype, bias=use_bias),
             },
         }
         if cfg.activation == "silu_glu":
             layer["mlp"] = {
-                "gate": _init_linear(lk[4], d, cfg.d_ff, dtype, bias=False),
-                "up": _init_linear(lk[5], d, cfg.d_ff, dtype, bias=False),
-                "down": _init_linear(lk[6], cfg.d_ff, d, dtype, bias=False),
+                "gate": lin(lk[4], d, cfg.d_ff, dtype, bias=False),
+                "up": lin(lk[5], d, cfg.d_ff, dtype, bias=False),
+                "down": lin(lk[6], cfg.d_ff, d, dtype, bias=False),
             }
         else:
             layer["mlp"] = {
-                "fc1": _init_linear(lk[4], d, cfg.d_ff, dtype, bias=use_bias),
-                "fc2": _init_linear(lk[5], cfg.d_ff, d, dtype, bias=use_bias),
+                "fc1": lin(lk[4], d, cfg.d_ff, dtype, bias=use_bias),
+                "fc2": lin(lk[5], cfg.d_ff, d, dtype, bias=use_bias),
             }
         layers.append(layer)
     params["layers"] = layers

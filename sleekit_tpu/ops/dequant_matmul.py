@@ -37,7 +37,6 @@ from sleekit_tpu.ops.pack import (
     PackedLinear,
     pack_indices,
     unpack_indices,
-    vals_per_word,
 )
 
 

@@ -34,7 +34,6 @@ from sleekit_tpu.models.transformer import (
     init_kv_cache,
     init_paged_kv_cache,
     prefill,
-    stack_layer_params,
 )
 
 
