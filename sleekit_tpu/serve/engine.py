@@ -42,6 +42,8 @@ class Request:
     prompt: np.ndarray                 # (T,) int32
     max_new_tokens: int
     temperature: float = 0.0
+    top_k: int = 0                     # 0 = disabled (full vocab)
+    top_p: float = 1.0                 # 1.0 = disabled (no nucleus cut)
     eos_id: Optional[int] = None
     request_id: int = -1
 
@@ -121,6 +123,39 @@ def _sample(logits, temps, key):
     greedy = jnp.argmax(logits, axis=-1)
     safe_t = jnp.maximum(temps, 1e-4)
     sampled = jax.random.categorical(key, logits / safe_t[:, None], axis=-1)
+    return jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=())
+def _sample_topkp(logits, temps, top_ks, top_ps, key):
+    """Per-slot greedy / temperature / top-k / top-p (nucleus) sampling.
+
+    One program for all slots with per-slot knobs: the scaled logits are
+    sorted once per slot; top-k keeps the k largest, top-p keeps the
+    smallest prefix of the (k-masked) distribution whose mass reaches p.
+    ``top_k == 0`` and ``top_p >= 1`` each disable their cut exactly.
+    """
+    V = logits.shape[-1]
+    greedy = jnp.argmax(logits, axis=-1)
+    safe_t = jnp.maximum(temps, 1e-4)
+    scaled = logits.astype(jnp.float32) / safe_t[:, None]
+
+    sorted_desc = -jnp.sort(-scaled, axis=-1)
+    k = jnp.where(top_ks > 0, top_ks, V).astype(jnp.int32)
+    kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
+    masked = jnp.where(scaled < kth, -jnp.inf, scaled)
+
+    pos = jnp.arange(V)[None, :]
+    sorted_masked = jnp.where(pos < k[:, None], sorted_desc, -jnp.inf)
+    sp = jax.nn.softmax(sorted_masked, axis=-1)
+    cum = jnp.cumsum(sp, axis=-1)
+    # Keep tokens whose exclusive cumulative mass is < p (the argmax token
+    # always survives); top_p >= 1 keeps the whole k-masked distribution.
+    keep = ((cum - sp) < top_ps[:, None]) | (top_ps[:, None] >= 1.0)
+    thresh = jnp.min(jnp.where(keep, sorted_masked, jnp.inf), axis=-1)
+    final = jnp.where(masked >= thresh[:, None], masked, -jnp.inf)
+
+    sampled = jax.random.categorical(key, final, axis=-1)
     return jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
 
 
@@ -288,7 +323,14 @@ class Engine:
             temps = jnp.asarray([req.temperature for _, req in items],
                                 jnp.float32)
             self.key, sub = jax.random.split(self.key)
-            firsts = np.asarray(_sample(last_logits, temps, sub))
+            if any(req.top_k > 0 or req.top_p < 1.0 for _, req in items):
+                tks = jnp.asarray([req.top_k for _, req in items], jnp.int32)
+                tps = jnp.asarray([req.top_p for _, req in items],
+                                  jnp.float32)
+                firsts = np.asarray(
+                    _sample_topkp(last_logits, temps, tks, tps, sub))
+            else:
+                firsts = np.asarray(_sample(last_logits, temps, sub))
             for r, (slot, req) in enumerate(items):
                 # Batch axis is 1 in the stacked scan layout ((L, B, ...)),
                 # 0 in the per-layer list layout.
@@ -367,11 +409,17 @@ class Engine:
                           jnp.int32)
         logits, self.cache = self._decode(self.cfg, self.params, tokens,
                                           self.cache, pos)
+        reqs = [self.slot_req[i] for i in range(self.max_slots)]
         temps = jnp.asarray(
-            [self.slot_req[i].temperature if self.slot_req[i] else 0.0
-             for i in range(self.max_slots)], jnp.float32)
+            [r.temperature if r else 0.0 for r in reqs], jnp.float32)
         self.key, sub = jax.random.split(self.key)
-        nxt = np.asarray(_sample(logits, temps, sub))
+        if any(r and (r.top_k > 0 or r.top_p < 1.0) for r in reqs):
+            tks = jnp.asarray([r.top_k if r else 0 for r in reqs], jnp.int32)
+            tps = jnp.asarray([r.top_p if r else 1.0 for r in reqs],
+                              jnp.float32)
+            nxt = np.asarray(_sample_topkp(logits, temps, tks, tps, sub))
+        else:
+            nxt = np.asarray(_sample(logits, temps, sub))
         for slot in active:
             tok = int(nxt[slot])
             self.slot_tokens[slot].append(tok)

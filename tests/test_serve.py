@@ -128,3 +128,67 @@ def test_engine_fused_eos_truncation(model):
     assert comp.finish_reason == "eos"
     assert comp.new_tokens[-1] == eos
     assert eos not in comp.new_tokens[:-1]
+
+
+def test_sample_topkp_restricts_support():
+    """top-k / top-p cuts keep sampling inside the allowed sets; disabled
+    knobs (k=0, p=1) reproduce plain temperature sampling exactly."""
+    from sleekit_tpu.serve.engine import _sample, _sample_topkp
+
+    rng = np.random.RandomState(0)
+    V = 64
+    logits = jnp.asarray(rng.randn(4, V).astype(np.float32) * 2.0)
+    temps = jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32)
+
+    # Disabled knobs == the plain sampler, same key, token-for-token.
+    key = jax.random.PRNGKey(7)
+    plain = np.asarray(_sample(logits, temps, key))
+    off = np.asarray(_sample_topkp(
+        logits, temps, jnp.zeros((4,), jnp.int32),
+        jnp.ones((4,), jnp.float32), key))
+    assert np.array_equal(plain, off)
+
+    # top-k: every draw lies in the k largest logits of its row.
+    ks = np.array([1, 4, 8, 0], np.int32)
+    order = np.argsort(-np.asarray(logits), axis=-1)
+    draws = []
+    for i in range(50):
+        draws.append(np.asarray(_sample_topkp(
+            logits, temps, jnp.asarray(ks),
+            jnp.ones((4,), jnp.float32), jax.random.PRNGKey(i))))
+    draws = np.stack(draws)
+    for row in range(3):
+        allowed = set(order[row, :ks[row]])
+        assert set(draws[:, row].tolist()) <= allowed
+    # greedy row ignores the knobs entirely
+    assert (draws[:, 3] == np.argmax(np.asarray(logits)[3])).all()
+
+    # top-p: a spiked distribution with p=0.5 collapses onto the spike.
+    spiky = np.full((1, V), -10.0, np.float32)
+    spiky[0, 11] = 10.0
+    for i in range(20):
+        tok = np.asarray(_sample_topkp(
+            jnp.asarray(spiky), jnp.ones((1,), jnp.float32),
+            jnp.zeros((1,), jnp.int32), jnp.asarray([0.5], jnp.float32),
+            jax.random.PRNGKey(i)))
+        assert tok[0] == 11
+
+
+def test_engine_topk_sampling(model):
+    """Engine round-trips per-request top_k/top_p; greedy requests in the
+    same batch are unaffected."""
+    cfg, params = model
+    rng = np.random.RandomState(9)
+    p1 = rng.randint(0, cfg.vocab_size, (5,)).astype(np.int32)
+    p2 = rng.randint(0, cfg.vocab_size, (7,)).astype(np.int32)
+    eng = Engine(cfg, params, max_slots=2, max_seq_len=64, seed=3)
+    c1, c2 = eng.run([
+        Request(prompt=p1, max_new_tokens=6, temperature=0.8, top_k=4,
+                top_p=0.9),
+        Request(prompt=p2, max_new_tokens=6),
+    ])
+    expected = np.asarray(generate(cfg, params, jnp.asarray(p2[None, :]),
+                                   6))[0]
+    assert np.array_equal(c2.tokens, expected)
+    assert len(c1.new_tokens) == 6
+    assert (np.asarray(c1.new_tokens) < cfg.vocab_size).all()
