@@ -111,7 +111,9 @@ def main():
     # int8-packed unembed head on top of the int-N packed linears.
     from sleekit_tpu.models.quantize import pack_lm_head
 
-    qparams, _ = random_packed_params(cfg, key, codebook, fuse_qkv=True)
+    layout = os.environ.get("BENCH_LAYOUT", "pair")
+    qparams, _ = random_packed_params(cfg, key, codebook, fuse_qkv=True,
+                                      layout=layout)
     qparams = pack_lm_head(cfg, qparams, nbits=8)
     quant_tok_s = run_decode(qparams, f"int{nbits} packed", cache_dtype=kv_dtype)
     del qparams

@@ -24,32 +24,44 @@ from sleekit_tpu.ops.pack import (PackedLinear, affine_from_lut, bits_for_codebo
 
 
 def random_packed_linear(key, in_features: int, out_features: int,
-                         codebook) -> PackedLinear:
+                         codebook, layout: str = "plane") -> PackedLinear:
     nbits = bits_for_codebook(len(codebook))
     k1, k2 = jax.random.split(key)
     idx = jax.random.randint(k1, (in_features, out_features), 0, len(codebook))
-    packed = pack_indices(idx, nbits, layout="plane")
+    packed = pack_indices(idx, nbits, layout=layout)
     scale = 0.02 * (1.0 + 0.1 * jax.random.uniform(k2, (out_features,)))
     lut = jnp.asarray(codebook.values, jnp.float32)
     return PackedLinear(
         packed=packed, scale=scale.astype(jnp.float32),
         lut=lut, bias=None,
         in_features=in_features, out_features=out_features, nbits=nbits,
-        affine=affine_from_lut(lut), layout="plane")
+        affine=affine_from_lut(lut), layout=layout)
 
 
 def _fast_packed_linear(rng: np.ndarray, in_features: int,
                         out_features: int, codebook,
-                        bias: bool) -> PackedLinear:
+                        bias: bool, layout: str = "plane") -> PackedLinear:
     """Random PackedLinear straight from random bits (no dense kernel,
-    no pack step): uniform random words ARE uniform random indices.
-    Index count is rounded up to the pack's plane tile."""
-    from sleekit_tpu.ops.pack import PLANE_GROUP, vals_per_word
+    no pack step): uniform random words ARE uniform random indices (every
+    payload bit uniform - true in any layout for power-of-two widths).
+    Index count is rounded up to the layout's K tile."""
+    from sleekit_tpu.ops.pack import (PLANE_GROUP, pair_group, pair_planes,
+                                      vals_per_word)
 
     nbits = bits_for_codebook(len(codebook))
     vpw = vals_per_word(nbits)
-    bk = PLANE_GROUP * vpw
-    kw = -(-in_features // bk) * bk // vpw
+    if layout == "pair":
+        hp, pg = pair_planes(nbits), pair_group(nbits)
+        bk = 2 * pg * hp
+        kw = -(-in_features // bk) * pg
+        if 2 * hp != vpw:
+            # 3-bit pair words leave bits 15/31 unused; random bits there
+            # are harmless (masked out by unpacking) but keep densities
+            # equal for memory accounting by packing for real below.
+            vpw = 2 * hp
+    else:
+        bk = PLANE_GROUP * vpw
+        kw = -(-in_features // bk) * bk // vpw
     words = rng.randint(-2 ** 31, 2 ** 31, (kw, out_features),
                         dtype=np.int64).astype(np.int32)
     if len(codebook) != 2 ** nbits:
@@ -62,7 +74,7 @@ def _fast_packed_linear(rng: np.ndarray, in_features: int,
         # re-tile to the plane layout
         words = np.asarray(pack_indices(
             jnp.asarray(idx[:in_features].astype(np.int32)), nbits,
-            layout="plane"))
+            layout=layout))
     scale = (0.02 * (1.0 + 0.1 * rng.rand(out_features))).astype(np.float32)
     lut = jnp.asarray(codebook.values, jnp.float32)
     return PackedLinear(
@@ -70,11 +82,12 @@ def _fast_packed_linear(rng: np.ndarray, in_features: int,
         lut=lut,
         bias=jnp.zeros((out_features,), jnp.float32) if bias else None,
         in_features=in_features, out_features=out_features, nbits=nbits,
-        affine=affine_from_lut(lut), layout="plane")
+        affine=affine_from_lut(lut), layout=layout)
 
 
 def random_packed_params(cfg: TransformerConfig, key,
-                         codebook=None, fuse_qkv: bool = False):
+                         codebook=None, fuse_qkv: bool = False,
+                         layout: str = "plane"):
     """Dense random params with every linear swapped for a random packed
     one. Returns (params, codebook). ``fuse_qkv`` applies the serving-time
     q|k|v (and gate|up) fusion before stacking."""
@@ -91,7 +104,7 @@ def random_packed_params(cfg: TransformerConfig, key,
 
     def factory(k, d_in, d_out, dtype, bias=True):
         return _fast_packed_linear(nprng, d_in, d_out, codebook,
-                                   bias=bias and use_bias)
+                                   bias=bias and use_bias, layout=layout)
 
     with jax.default_device(cpu):
         params = init_params(cfg, key, linear_factory=factory)

@@ -36,6 +36,8 @@ from sleekit_tpu.ops.pack import (
     PLANE_GROUP,
     PackedLinear,
     pack_indices,
+    pair_group,
+    pair_planes,
     unpack_indices,
 )
 
@@ -119,8 +121,84 @@ def _mantissa_kernel(x_ref, w_ref, o_ref, *, nbits, vpw, compute_dtype):
                         preferred_element_type=jnp.float32)
 
 
+def _pair_kernel(x_ref, w_ref, o_ref, *, nbits, hp, pg):
+    """Mantissa dequant over the bf16-PAIR layout: 2 values per VPU op.
+
+    Each int32 word holds ``2*hp`` indices - ``hp`` bit planes in each
+    16-bit half, pre-arranged (ops/pack.py layout='pair') so that ONE
+    shift+and+or per plane materializes the bf16 bit patterns
+    ``0x3F80 | idx << (7-nbits)`` of BOTH halves at once, and the int32 ->
+    bf16 bitcast (free) expands word row p to bf16 rows (2p, 2p+1).
+    Versus the f32 mantissa kernel this halves the shift/mask work AND
+    drops the f32->bf16 convert pass: ~1.5 VPU ops/element instead of ~4.
+    Exact for nbits <= 7 (bf16 mantissa); the affine correction and
+    per-channel scale fold outside (see _pallas_impl).
+    """
+    k_step = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    words = w_ref[:]  # (pair_group, BN) int32, pair layout
+    mlow = ((1 << nbits) - 1) << (7 - nbits)
+    mask = jnp.int32(mlow | (mlow << 16))
+    one = jnp.int32(0x3F803F80)
+    planes = []
+    for j in range(hp):
+        s = (7 - nbits) - nbits * j
+        if s >= 0:
+            t = lax.shift_left(words, jnp.int32(s))
+        else:
+            t = lax.shift_right_logical(words, jnp.int32(-s))
+        planes.append(pltpu.bitcast((t & mask) | one, jnp.bfloat16))
+    c = jnp.concatenate(planes, axis=0)  # (2*pg*hp, BN) bf16
+    o_ref[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16), c,
+                        preferred_element_type=jnp.float32)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nbits", "block_n", "interpret"))
+def _pallas_pair_impl(x, packed, scale, *, nbits, affine_a, affine_b,
+                      block_n, interpret):
+    m, k = x.shape
+    kw, n = packed.shape
+    hp, pg = pair_planes(nbits), pair_group(nbits)
+    bk = 2 * pg * hp
+
+    bn = min(block_n, _round_up(n, 128))
+    m_pad = _round_up(max(m, 8), 8)
+    kw_pad = _round_up(kw, pg)
+    k_pad = (kw_pad // pg) * bk
+    n_pad = _round_up(n, bn)
+
+    x_p = jnp.zeros((m_pad, k_pad), x.dtype)
+    x_p = lax.dynamic_update_slice(x_p, x, (0, 0))
+    packed_p = jnp.pad(packed, ((0, kw_pad - kw), (0, n_pad - n)))
+
+    grid = (n_pad // bn, kw_pad // pg)
+    kernel = functools.partial(_pair_kernel, nbits=nbits, hp=hp, pg=pg)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, bk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pg, bn), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_pad, bn), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+        interpret=interpret,
+    )(x_p, packed_p)[:m, :n]
+    xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+    return (affine_a * out + affine_b * xs) * scale[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -206,6 +284,21 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
                           interpret: bool = False) -> jnp.ndarray:
     """Fused Pallas TPU kernel (plane-major layout). ``interpret=True``
     runs the same kernel on CPU for tests."""
+    if w.layout == "pair":
+        # bf16-pair fast path: exact while the index fits the bf16
+        # mantissa and the codebook is affine (uniform); anything else
+        # should be packed with layout='plane'.
+        if w.affine is not None and w.nbits <= 7:
+            step, zero = w.affine
+            a = step * float(2 ** w.nbits)
+            y = _pallas_pair_impl(
+                x, w.packed, w.scale, nbits=w.nbits,
+                affine_a=a, affine_b=zero - a,
+                block_n=block_n, interpret=interpret)
+            if w.bias is not None:
+                y = y + w.bias[None, :]
+            return y.astype(x.dtype)
+        return dequant_matmul_xla(x, w)
     if w.layout != "plane":
         # Linear-layout weights fall back to the XLA oracle; repack with
         # layout='plane' (ops/pack.pack_quantized default) for the fast path.

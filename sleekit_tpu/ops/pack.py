@@ -66,7 +66,26 @@ def vals_per_word(nbits: int) -> int:
 # the TPU dequant kernel at HBM speed (see ops/dequant_matmul.py).
 PLANE_GROUP = 32
 
-LAYOUTS = ("linear", "plane")
+# Word-row group size of the pair layout (below).
+PAIR_GROUP = 32
+
+LAYOUTS = ("linear", "plane", "pair")
+
+
+def pair_planes(nbits: int) -> int:
+    """Bit planes per 16-bit half in the 'pair' layout: floor(16/nbits).
+
+    Element count per word is ``2 * pair_planes`` - identical density to
+    the plane layout for every supported width (incl. 10/word at 3-bit).
+    """
+    return 16 // nbits
+
+
+def pair_group(nbits: int) -> int:
+    """Word rows per pair-layout tile: doubled when the plane count is
+    odd (3-bit) so the expanded K tile ``2*group*planes`` stays a
+    multiple of 128 (Mosaic block-shape requirement)."""
+    return PAIR_GROUP * (2 if pair_planes(nbits) % 2 else 1)
 
 
 def pack_indices(idx: jnp.ndarray, nbits: int,
@@ -80,10 +99,29 @@ def pack_indices(idx: jnp.ndarray, nbits: int,
     layout 'linear': word g packs consecutive K rows g*vpw..(g+1)*vpw-1.
     layout 'plane':  plane-major tiles of PLANE_GROUP word rows (K padded
     to a multiple of PLANE_GROUP*vpw), the serving-kernel layout.
+    layout 'pair':   bf16-pair tiles of PAIR_GROUP word rows; within a
+    tile, word row p carries K row ``j*(2*PAIR_GROUP) + 2*p + h`` in bits
+    ``[16*h + nbits*j, +nbits)`` (h = 16-bit half, j = bit plane). One
+    shift+and+or then materializes TWO bf16 mantissa values per word, and
+    Mosaic's int32->bf16 bitcast expands word row p to bf16 rows (2p,
+    2p+1) - see ops/dequant_matmul._pair_kernel.
     """
     assert idx.ndim == 2
     assert layout in LAYOUTS
     k, n = idx.shape
+    if layout == "pair":
+        hp, pg = pair_planes(nbits), pair_group(nbits)
+        bk = 2 * pg * hp
+        k_pad = -(-k // bk) * bk
+        idx = jnp.pad(idx.astype(jnp.uint32), ((0, k_pad - k), (0, 0)))
+        # k_local = j*(2*pg) + 2*p + h  ->  dims (tiles, j, p, h)
+        tiles = idx.reshape(k_pad // bk, hp, pg, 2, n)
+        shifts = (16 * jnp.arange(2, dtype=jnp.uint32)[None, :]
+                  + nbits * jnp.arange(hp, dtype=jnp.uint32)[:, None])
+        words = jnp.sum(tiles << shifts[None, :, None, :, None],
+                        axis=(1, 3), dtype=jnp.uint32)
+        words = words.reshape(k_pad // bk * pg, n)
+        return jax.lax.bitcast_convert_type(words, jnp.int32)
     vpw = vals_per_word(nbits)
     if layout == "linear":
         k_pad = -(-k // vpw) * vpw
@@ -106,11 +144,22 @@ def unpack_indices(packed: jnp.ndarray, nbits: int, k: int,
     """Inverse of :func:`pack_indices`; returns (k, N) int32 indices."""
     assert packed.ndim == 2
     assert layout in LAYOUTS
-    vpw = vals_per_word(nbits)
+    kw, n = packed.shape
     mask = jnp.int32((1 << nbits) - 1)
+    if layout == "pair":
+        hp, pg = pair_planes(nbits), pair_group(nbits)
+        shifts = (16 * jnp.arange(2, dtype=jnp.int32)[None, :]
+                  + nbits * jnp.arange(hp, dtype=jnp.int32)[:, None])
+        # (kw, hp, 2, n) -> tiles of pair_group word rows with
+        # k_local = j*(2*pg) + 2*p + h
+        sub = jax.lax.shift_right_logical(
+            packed[:, None, None, :], shifts[None, :, :, None]) & mask
+        tiles = sub.reshape(kw // pg, pg, hp, 2, n)
+        full = tiles.transpose(0, 2, 1, 3, 4).reshape(kw * 2 * hp, n)
+        return full[:k]
+    vpw = vals_per_word(nbits)
     shifts = (jnp.arange(vpw, dtype=jnp.int32) * nbits)[None, :, None]
     sub = jax.lax.shift_right_logical(packed[:, None, :], shifts) & mask
-    kw, n = packed.shape
     if layout == "linear":
         full = sub.reshape(kw * vpw, n)
     else:

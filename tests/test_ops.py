@@ -146,3 +146,53 @@ def test_quantized_matmul_dispatch_cpu():
     got = np.asarray(quantized_matmul(x, packed))
     expected = np.asarray(dequant_matmul_xla(x, packed))
     assert np.allclose(got, expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("nbits", [1, 2, 3, 4, 8])
+def test_pair_pack_unpack_roundtrip(nbits):
+    rng = np.random.RandomState(nbits + 40)
+    for k in (256, 301, 1000):
+        idx = rng.randint(0, 2 ** nbits, (k, 33)).astype(np.int32)
+        packed = pack_indices(jnp.asarray(idx), nbits, layout="pair")
+        assert packed.dtype == jnp.int32
+        back = np.asarray(unpack_indices(packed, nbits, k, layout="pair"))
+        assert np.array_equal(back, idx)
+
+
+@pytest.mark.parametrize("nbits", [2, 3, 4])
+def test_pair_kernel_matches_xla(nbits):
+    """bf16-pair Pallas kernel (interpret mode) == XLA oracle, multiple
+    K tiles (incl. the 3-bit doubled word group) and a ragged N."""
+    from sleekit_tpu.ops.pack import affine_from_lut
+
+    rng = np.random.RandomState(20 + nbits)
+    K, N = 1280, 200
+    lut = np.linspace(-1.0, 1.0, 2 ** nbits).astype(np.float32)
+    idx = jnp.asarray(rng.randint(0, 2 ** nbits, (K, N)), jnp.int32)
+    w = PackedLinear(
+        packed=pack_indices(idx, nbits, layout="pair"),
+        scale=jnp.asarray(rng.rand(N).astype(np.float32) + 0.5),
+        lut=jnp.asarray(lut), bias=None, in_features=K, out_features=N,
+        nbits=nbits, affine=affine_from_lut(lut), layout="pair")
+    x = jnp.asarray(rng.randn(4, K).astype(np.float32)).astype(jnp.bfloat16)
+    oracle = np.asarray(dequant_matmul_xla(x, w), np.float32)
+    got = np.asarray(dequant_matmul_pallas(x, w, block_n=128,
+                                           interpret=True), np.float32)
+    err = np.abs(got - oracle).max() / (np.abs(oracle).max() + 1e-9)
+    assert err < 2e-2, (nbits, err)
+
+
+def test_pair_layout_fake_quant_forward_matches_plane():
+    """random_packed_params(layout='pair') packs the same model geometry;
+    forward logits agree between layouts when built from identical
+    indices."""
+    from sleekit_tpu.models.fake_quant import random_packed_linear
+    import jax
+
+    cb = UniformCodebook(16, -1.0, 1.0)
+    key = jax.random.PRNGKey(0)
+    wp = random_packed_linear(key, 96, 80, cb, layout="plane")
+    wq = random_packed_linear(key, 96, 80, cb, layout="pair")
+    # identical indices -> identical dequantized matrices
+    assert np.allclose(np.asarray(wp.dequantize()),
+                       np.asarray(wq.dequantize()))
