@@ -287,8 +287,11 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
     if w.layout == "pair":
         # bf16-pair fast path: exact while the index fits the bf16
         # mantissa and the codebook is affine (uniform); anything else
-        # should be packed with layout='plane'.
-        if w.affine is not None and w.nbits <= 7:
+        # should be packed with layout='plane'. The kernel computes in
+        # bf16, so f32 activations keep full precision on the XLA path
+        # instead (the serving hot path is bf16).
+        if (w.affine is not None and w.nbits <= 7
+                and x.dtype == jnp.bfloat16):
             step, zero = w.affine
             a = step * float(2 ** w.nbits)
             y = _pallas_pair_impl(

@@ -244,14 +244,16 @@ def pack_quantized(
     scale: jnp.ndarray,
     codebook,
     bias: Optional[jnp.ndarray] = None,
-    layout: str = "plane",
+    layout: str = "auto",
 ) -> PackedLinear:
     """Pack a quantizer output into serving format.
 
     ``weight_q`` is the dequantized (out, in) matrix produced by the
     pipeline (values lie on the per-channel scaled codebook grid);
     ``scale`` the per-output-channel scale; ``codebook`` the codebook it
-    was quantized against.
+    was quantized against. layout 'auto' picks the fastest kernel layout
+    for the codebook: bf16-'pair' for affine codebooks that fit the bf16
+    mantissa (uniform, <=7 bits), 'plane' otherwise (LUT path).
     """
     out_f, in_f = weight_q.shape
     # Back to grid indices: divide the per-channel scale out, then index.
@@ -259,6 +261,9 @@ def pack_quantized(
     idx = codebook.quantize_index(normalized).astype(jnp.int32)
     lut = jnp.asarray(codebook.values, jnp.float32)
     nbits = bits_for_codebook(int(lut.shape[0]))
+    if layout == "auto":
+        layout = ("pair" if affine_from_lut(lut) is not None and nbits <= 7
+                  else "plane")
     packed = pack_indices(idx.T, nbits, layout=layout)  # serving layout (K, N)
     return PackedLinear(
         packed=packed,
