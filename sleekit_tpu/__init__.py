@@ -22,6 +22,7 @@ Layer map (mirrors reference layering, see /root/repo/SURVEY.md §1):
 
 from sleekit_tpu import codebooks, hessian, solver, scaling, local_search, pipeline
 from sleekit_tpu.codebooks import UniformCodebook, Codebook, lloyd_max
+from sleekit_tpu.compat import Sleekit
 from sleekit_tpu.pipeline import LayerQuantizer, QuantConfig
 
 __version__ = "0.1.0"
@@ -38,4 +39,5 @@ __all__ = [
     "lloyd_max",
     "LayerQuantizer",
     "QuantConfig",
+    "Sleekit",
 ]
