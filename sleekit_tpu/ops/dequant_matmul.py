@@ -44,6 +44,9 @@ from sleekit_tpu.ops.pack import (
 
 def dequant_matmul_xla(x: jnp.ndarray, w: PackedLinear) -> jnp.ndarray:
     """Correctness-oracle implementation on plain XLA ops."""
+    assert w.k_splits == 1, (
+        "split_packed_k matrices are a TP sharding format; localize the "
+        "shard (ops/pack.localize_packed_shard) before the matmul")
     idx = unpack_indices(w.packed, w.nbits, w.in_features, layout=w.layout)
     deq = jnp.take(w.lut, idx) * w.scale[None, :]
     y = jnp.dot(x.astype(jnp.float32), deq, preferred_element_type=jnp.float32)
@@ -284,6 +287,9 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
                           interpret: bool = False) -> jnp.ndarray:
     """Fused Pallas TPU kernel (plane-major layout). ``interpret=True``
     runs the same kernel on CPU for tests."""
+    assert w.k_splits == 1, (
+        "split_packed_k matrices are a TP sharding format; localize the "
+        "shard (ops/pack.localize_packed_shard) before the matmul")
     if w.layout == "pair":
         # bf16-pair fast path: exact while the index fits the bf16
         # mantissa and the codebook is affine (uniform); anything else

@@ -194,6 +194,12 @@ class PackedLinear:
     # 'linear' (interchange) or 'plane' (plane-major serving layout).
     layout: str = dataclasses.field(
         default="linear", metadata=dict(static=True))
+    # >1: the K axis is split into this many contiguous chunks, each packed
+    # INDEPENDENTLY (own tile padding) and concatenated along word rows -
+    # the tensor-parallel row-sharding format (see split_packed_k). Kernels
+    # consume k_splits == 1 matrices; shard_map localizes a split one with
+    # :func:`localize_packed_shard`.
+    k_splits: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def vpw(self) -> int:
@@ -202,14 +208,64 @@ class PackedLinear:
     def dequantize(self) -> jnp.ndarray:
         """Dense f32 (K, N) weights (reference semantics of storing the
         dequantized matrix, for validation and fallback paths)."""
-        idx = unpack_indices(self.packed, self.nbits, self.in_features,
-                             layout=self.layout)
+        if self.k_splits > 1:
+            kw = self.packed.shape[0] // self.k_splits
+            k_local = self.in_features // self.k_splits
+            parts = [unpack_indices(
+                self.packed[i * kw:(i + 1) * kw], self.nbits, k_local,
+                layout=self.layout) for i in range(self.k_splits)]
+            idx = jnp.concatenate(parts, axis=0)
+        else:
+            idx = unpack_indices(self.packed, self.nbits, self.in_features,
+                                 layout=self.layout)
         return jnp.take(self.lut, idx) * self.scale[None, :]
 
     def memory_bytes(self) -> int:
         return int(self.packed.size * 4 + self.scale.size * 4
                    + self.lut.size * 4
                    + (0 if self.bias is None else self.bias.size * 4))
+
+
+def split_packed_k(p: PackedLinear, n: int) -> PackedLinear:
+    """Re-pack for tensor-parallel ROW sharding: split K into ``n``
+    contiguous chunks, pack each independently (each gets its own tile
+    padding, so any layout - incl. 10-per-word 3-bit - splits cleanly),
+    concatenate along word rows. Sharding the result's word-row axis into
+    ``n`` equal parts hands every device a well-formed (K/n, N) packed
+    matrix; the partial products then ``psum`` exactly because the
+    per-shard affine fold ``b*sum(x_shard)`` and the per-channel scale are
+    both linear in the shard contributions (VERDICT.md round-1 item 2).
+    """
+    if n == 1:
+        return p
+    assert p.k_splits == 1, "already split"
+    assert p.in_features % n == 0, (
+        f"K={p.in_features} not divisible by {n} shards")
+    k_local = p.in_features // n
+    idx = unpack_indices(p.packed, p.nbits, p.in_features, layout=p.layout)
+    chunks = [pack_indices(idx[i * k_local:(i + 1) * k_local], p.nbits,
+                           layout=p.layout) for i in range(n)]
+    return dataclasses.replace(
+        p, packed=jnp.concatenate(chunks, axis=0), k_splits=n)
+
+
+def localize_packed_shard(p: PackedLinear, n: int,
+                          row_parallel: bool) -> PackedLinear:
+    """Fix the static metadata of a PackedLinear INSIDE a shard_map body
+    (shard_map delivers local array shards but re-attaches the global
+    static fields). Row-parallel shards of a :func:`split_packed_k` matrix
+    become ordinary (K/n, N) packed linears; column-parallel shards keep K
+    and get N/n outputs."""
+    if n == 1:
+        return p
+    if row_parallel:
+        assert p.k_splits == n, (
+            f"row-parallel PackedLinear must be split_packed_k({n}) first "
+            f"(k_splits={p.k_splits})")
+        return dataclasses.replace(
+            p, in_features=p.in_features // n, k_splits=1)
+    assert p.out_features % n == 0
+    return dataclasses.replace(p, out_features=p.out_features // n)
 
 
 def concat_packed(pls) -> PackedLinear:

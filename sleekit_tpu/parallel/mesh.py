@@ -50,12 +50,17 @@ def _linear_spec(name: str, p) -> Any:
                 packed=P(None, "model"), scale=P("model"), lut=P(),
                 bias=None if p.bias is None else P("model"),
                 in_features=p.in_features, out_features=p.out_features,
-                nbits=p.nbits, affine=p.affine, layout=p.layout)
+                nbits=p.nbits, affine=p.affine, layout=p.layout,
+                k_splits=p.k_splits)
+        # Row-parallel: word rows sharded. Packed words must be in the
+        # split_packed_k format so every shard is a self-contained packing
+        # (prepare_params_for_tp does this).
         return PackedLinear(
             packed=P("model", None), scale=P(), lut=P(),
             bias=None if p.bias is None else P(),
             in_features=p.in_features, out_features=p.out_features,
-            nbits=p.nbits, affine=p.affine, layout=p.layout)
+            nbits=p.nbits, affine=p.affine, layout=p.layout,
+            k_splits=p.k_splits)
     spec = {}
     if col:
         spec["kernel"] = P(None, "model")
@@ -97,8 +102,42 @@ def param_specs(cfg: TransformerConfig, params) -> Any:
     if "final_ln" in params:
         specs["final_ln"] = _norm_spec(params["final_ln"])
     if "lm_head" in params:
-        specs["lm_head"] = {"kernel": P(None, "model")}
+        # Unembed is column-parallel over the vocab; the TP decode step
+        # all-gathers the vocab-sharded logits (tp_decode.py).
+        if isinstance(params["lm_head"], PackedLinear):
+            specs["lm_head"] = _linear_spec("q", params["lm_head"])
+        else:
+            specs["lm_head"] = {"kernel": P(None, "model")}
     return specs
+
+
+def prepare_params_for_tp(cfg: TransformerConfig, params, n: int):
+    """Convert packed params to the tensor-parallel sharding format:
+    row-parallel PackedLinears (attention out / MLP down) are re-packed
+    with :func:`~sleekit_tpu.ops.pack.split_packed_k` so their word rows
+    shard into ``n`` self-contained packings. Dense linears and
+    column-parallel packed linears need no format change. Call on
+    UNSTACKED params (before ``stack_layer_params``); fused qkv/gate_up
+    params are rejected (fusion crosses the shard boundary)."""
+    from sleekit_tpu.ops.pack import split_packed_k
+
+    if n == 1:
+        return params
+    out = dict(params)
+    layers = []
+    for layer in params["layers"]:
+        assert "qkv" not in layer["attn"], (
+            "TP requires unfused q/k/v (fuse_qkv_params is single-shard "
+            "serving only)")
+        layer = {**layer, "attn": dict(layer["attn"]),
+                 "mlp": dict(layer["mlp"])}
+        for grp in ("attn", "mlp"):
+            for name, p in layer[grp].items():
+                if name in _ROW_PARALLEL and isinstance(p, PackedLinear):
+                    layer[grp][name] = split_packed_k(p, n)
+        layers.append(layer)
+    out["layers"] = layers
+    return out
 
 
 def param_specs_stacked(cfg: TransformerConfig, params) -> Any:

@@ -40,7 +40,9 @@ from sleekit_tpu.models.transformer import (
     apply_norm,
 )
 from sleekit_tpu.ops.attention import decode_attention
-from sleekit_tpu.parallel.mesh import param_specs, kv_cache_specs
+from sleekit_tpu.ops.pack import PackedLinear, localize_packed_shard
+from sleekit_tpu.parallel.mesh import (
+    _ROW_PARALLEL, param_specs, kv_cache_specs)
 
 
 def _local_cfg(cfg: TransformerConfig, n: int) -> TransformerConfig:
@@ -49,6 +51,37 @@ def _local_cfg(cfg: TransformerConfig, n: int) -> TransformerConfig:
         f"model-parallel size {n}")
     return dataclasses.replace(cfg, n_heads=cfg.n_heads // n,
                                n_kv_heads=cfg.kv_heads // n)
+
+
+def _localize_packed(params, n: int):
+    """Fix PackedLinear static metadata inside the shard_map body: shard_map
+    hands each device its local array shards but re-attaches the GLOBAL
+    static fields, so a row-parallel split_packed_k matrix still claims the
+    full K and a column-parallel one the full N. Works on both the
+    per-layer-list and the stacked scan_layers layouts (statics are shared
+    across the stacked axis)."""
+    if n == 1:
+        return params
+
+    def fix_layer(layer):
+        layer = {**layer, "attn": dict(layer["attn"]),
+                 "mlp": dict(layer["mlp"])}
+        for grp in ("attn", "mlp"):
+            for name, p in layer[grp].items():
+                if isinstance(p, PackedLinear):
+                    layer[grp][name] = localize_packed_shard(
+                        p, n, row_parallel=name in _ROW_PARALLEL)
+        return layer
+
+    out = dict(params)
+    if isinstance(params["layers"], dict):
+        out["layers"] = fix_layer(params["layers"])
+    else:
+        out["layers"] = [fix_layer(l) for l in params["layers"]]
+    if isinstance(params.get("lm_head"), PackedLinear):
+        out["lm_head"] = localize_packed_shard(params["lm_head"], n,
+                                               row_parallel=False)
+    return out
 
 
 def _strip_row_bias(p):
@@ -136,7 +169,12 @@ def tp_decode_step(cfg: TransformerConfig, params, tokens, cache, pos,
     dspec = P("data")
     pos = jnp.broadcast_to(jnp.asarray(pos), (tokens.shape[0],))
 
+    # The unembed is vocab-sharded over 'model' (mesh.param_specs) whenever
+    # an explicit lm_head exists; its local logits are all-gathered below.
+    gather_logits = "lm_head" in params
+
     def local(params, tokens, cache, pos_vec, slopes):
+        params = _localize_packed(params, n)
         x = _embed(cfg, params, tokens, pos_vec[:, None])
         if cfg.scan_layers:
             def body(carry, inp):
@@ -156,8 +194,10 @@ def tp_decode_step(cfg: TransformerConfig, params, tokens, cache, pos,
                 x, entry = _tp_block(cfg, lcfg, layer, x, entry, pos_vec,
                                      jnp.int32(0), axis, slopes)
                 new_cache.append({k: v[0] for k, v in entry.items()})
-        logits = _unembed(cfg, params, x)
-        return logits[:, 0, :], new_cache
+        logits = _unembed(cfg, params, x)[:, 0, :]
+        if gather_logits and n > 1:
+            logits = lax.all_gather(logits, axis, axis=1, tiled=True)
+        return logits, new_cache
 
     slope_args = () if slopes_full is None else (slopes_full,)
     slope_specs = () if slopes_full is None else (P(axis),)
