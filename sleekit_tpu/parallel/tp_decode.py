@@ -150,6 +150,162 @@ def _tp_block(cfg, lcfg, layer, x, entry, pos_vec, lidx, axis, slopes):
     return x, new_entry
 
 
+def _prefill_bias(positions, k_pos, slopes):
+    """(B, 1|H, T, S) additive causal (+local-ALiBi) bias for prefill on a
+    head shard: ``slopes`` is the LOCAL slope shard or None."""
+    mask = positions[..., :, None] >= k_pos[..., None, :]
+    bias = jnp.where(mask, 0.0, jnp.float32(-1e9))[:, None]
+    if slopes is not None:
+        dist = (k_pos[..., None, :] - positions[..., :, None]
+                ).astype(jnp.float32)[:, None]
+        bias = bias + slopes[None, :, None, None] * dist
+    return bias
+
+
+def _tp_prefill_block(cfg, lcfg, layer, x, entry, positions, axis, slopes):
+    """One prefill block on the LOCAL head shard (full-sequence attention,
+    contiguous KV write from position 0); psums over ``axis``. Mirrors the
+    prefill branch of transformer._block with local head counts."""
+    from sleekit_tpu.models.transformer import _attention
+    from sleekit_tpu.ops.attention import _quant_rows
+
+    b, t, d = x.shape
+    hd = cfg.head_dim
+    h_in = apply_norm(cfg, layer["ln1"], x) if cfg.pre_norm else x
+    q = apply_linear(layer["attn"]["q"], h_in).reshape(b, t, lcfg.n_heads, hd)
+    k = apply_linear(layer["attn"]["k"], h_in).reshape(b, t, lcfg.kv_heads, hd)
+    v = apply_linear(layer["attn"]["v"], h_in).reshape(b, t, lcfg.kv_heads, hd)
+
+    if cfg.positional == "rope":
+        from sleekit_tpu.models.transformer import apply_rope, rope_freqs
+        cos, sin = rope_freqs(cfg, positions)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    kt = k.transpose(0, 2, 1, 3)                       # (B, KVl, T, D)
+    vt = v.transpose(0, 2, 1, 3)
+    cache_k, cache_v = entry["k"], entry["v"]
+    new_entry = {}
+    if "k_scale" in entry:
+        kq, ks = _quant_rows(kt.astype(jnp.float32))
+        vq, vs = _quant_rows(vt.astype(jnp.float32))
+        cache_k = lax.dynamic_update_slice(
+            cache_k, kq.astype(cache_k.dtype), (0, 0, 0, 0))
+        cache_v = lax.dynamic_update_slice(
+            cache_v, vq.astype(cache_v.dtype), (0, 0, 0, 0))
+        new_entry["k_scale"] = lax.dynamic_update_slice(
+            entry["k_scale"], ks[..., 0], (0, 0, 0))
+        new_entry["v_scale"] = lax.dynamic_update_slice(
+            entry["v_scale"], vs[..., 0], (0, 0, 0))
+        attn_k = (cache_k.astype(jnp.float32)
+                  * new_entry["k_scale"][..., None]).astype(x.dtype)
+        attn_v = (cache_v.astype(jnp.float32)
+                  * new_entry["v_scale"][..., None]).astype(x.dtype)
+    else:
+        cache_k = lax.dynamic_update_slice(
+            cache_k, kt.astype(cache_k.dtype), (0, 0, 0, 0))
+        cache_v = lax.dynamic_update_slice(
+            cache_v, vt.astype(cache_v.dtype), (0, 0, 0, 0))
+        attn_k, attn_v = cache_k, cache_v
+    new_entry["k"], new_entry["v"] = cache_k, cache_v
+
+    s = cache_k.shape[2]
+    k_pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    valid = k_pos <= positions[:, -1:]
+    bias = _prefill_bias(positions, k_pos, slopes)
+    bias = jnp.where(valid[:, None, None, :], bias, -1e9)
+    attn = _attention(lcfg, q, attn_k, attn_v, bias)
+    attn = attn.reshape(b, t, lcfg.n_heads * hd)
+
+    o_p, o_bias = _strip_row_bias(layer["attn"]["o"])
+    attn = lax.psum(apply_linear(o_p, attn), axis)
+    if o_bias is not None:
+        attn = attn + o_bias
+    x = x + attn
+    if not cfg.pre_norm:
+        x = apply_norm(cfg, layer["ln1"], x)
+
+    h = apply_norm(cfg, layer["ln2"], x) if cfg.pre_norm else x
+    if cfg.activation == "silu_glu":
+        gate = apply_linear(layer["mlp"]["gate"], h)
+        up = apply_linear(layer["mlp"]["up"], h)
+        h = jax.nn.silu(gate) * up
+        d_p, d_bias = _strip_row_bias(layer["mlp"]["down"])
+        h = lax.psum(apply_linear(d_p, h), axis)
+        if d_bias is not None:
+            h = h + d_bias
+    else:
+        h = apply_linear(layer["mlp"]["fc1"], h)
+        h = jax.nn.relu(h) if cfg.activation == "relu" else jax.nn.gelu(h)
+        f2_p, f2_bias = _strip_row_bias(layer["mlp"]["fc2"])
+        h = lax.psum(apply_linear(f2_p, h), axis)
+        if f2_bias is not None:
+            h = h + f2_bias
+    x = x + h
+    if not cfg.pre_norm:
+        x = apply_norm(cfg, layer["ln2"], x)
+    return x, new_entry
+
+
+def tp_prefill(cfg: TransformerConfig, params, tokens, cache,
+               mesh: Mesh, axis: str = "model"):
+    """Prefill under explicit shard_map tensor parallelism: same semantics
+    as transformer.prefill; heads/ff sharded over ``axis``, batch over
+    'data', two psums per layer. Returns (logits (B, T, V), cache)."""
+    n = mesh.shape[axis]
+    lcfg = _local_cfg(cfg, n)
+    slopes_full = (jnp.asarray(alibi_slopes(cfg.n_heads))
+                   if cfg.positional == "alibi" else None)
+
+    from sleekit_tpu.parallel.mesh import param_specs_stacked
+    if cfg.scan_layers:
+        pspecs = param_specs_stacked(cfg, params)
+    else:
+        pspecs = param_specs(cfg, params)
+    cspecs = kv_cache_specs(cache)
+    gather_logits = "lm_head" in params
+
+    def local(params, tokens, cache, slopes):
+        params = _localize_packed(params, n)
+        b, t = tokens.shape
+        positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+        x = _embed(cfg, params, tokens, positions)
+        if cfg.scan_layers:
+            keys = sorted(cache.keys())
+
+            def body(x, inp):
+                layer = inp[0]
+                entry = dict(zip(keys, inp[1:]))
+                x, entry = _tp_prefill_block(cfg, lcfg, layer, x, entry,
+                                             positions, axis, slopes)
+                return x, tuple(entry[k] for k in keys)
+
+            x, outs = lax.scan(
+                body, x, (params["layers"], *[cache[k] for k in keys]))
+            new_cache = dict(zip(keys, outs))
+        else:
+            new_cache = []
+            for layer in params["layers"]:
+                x, entry = _tp_prefill_block(cfg, lcfg, layer, x, cache[
+                    len(new_cache)], positions, axis, slopes)
+                new_cache.append(entry)
+        logits = _unembed(cfg, params, x)
+        if gather_logits and n > 1:
+            logits = lax.all_gather(logits, axis, axis=2, tiled=True)
+        return logits, new_cache
+
+    slope_args = () if slopes_full is None else (slopes_full,)
+    slope_specs = () if slopes_full is None else (P(axis),)
+    fn = shard_map(
+        lambda p, t, c, *s: local(p, t, c, s[0] if s else None),
+        mesh=mesh,
+        in_specs=(pspecs, P("data", None), cspecs, *slope_specs),
+        out_specs=(P("data"), cspecs),
+        check_vma=False,
+    )
+    return fn(params, tokens, cache, *slope_args)
+
+
 def tp_decode_step(cfg: TransformerConfig, params, tokens, cache, pos,
                    mesh: Mesh, axis: str = "model"):
     """One decode step, tensor-parallel over ``axis`` and batch-parallel

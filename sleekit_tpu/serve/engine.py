@@ -166,12 +166,24 @@ class Engine:
                  max_seq_len: int = 512, cache_dtype=jnp.float32,
                  seed: int = 0, fused_steps: int = 8,
                  paged: bool = False, page_size: int = 64,
-                 total_pages: Optional[int] = None):
+                 total_pages: Optional[int] = None, mesh=None):
+        """``mesh`` (a ('data','model') jax.sharding.Mesh) makes the engine
+        multi-device: params and KV pool are sharded by the mesh specs
+        (parallel/mesh.py) and every device program runs tensor-parallel
+        via shard_map (parallel/tp_decode.py) when the 'model' axis is >1.
+        Packed params must already be in TP format
+        (mesh.prepare_params_for_tp, before any stacking); max_slots must
+        be divisible by the 'data' axis size."""
         self.cfg = cfg
         self.params = params
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len
         self.paged = paged
+        self.mesh = mesh
+        self._tp = mesh is not None and mesh.shape.get("model", 1) > 1
+        if self._tp:
+            assert not paged, "paged KV + tensor parallelism not supported yet"
+            assert max_slots % mesh.shape.get("data", 1) == 0
         if paged:
             assert max_seq_len % page_size == 0
             self.page_size = page_size
@@ -199,8 +211,48 @@ class Engine:
         # trip (lax.scan over decode steps) instead of one.
         self.fused_steps = fused_steps
 
-        self._decode = jax.jit(decode_step, static_argnums=(0,))
-        self._prefill = jax.jit(prefill, static_argnums=(0,))
+        if self._tp:
+            from sleekit_tpu.models.eval import decode_scan  # noqa: F401
+            from sleekit_tpu.parallel.mesh import (
+                kv_cache_specs, param_specs, param_specs_stacked,
+                shard_pytree)
+            from sleekit_tpu.parallel.tp_decode import (
+                tp_decode_step, tp_prefill)
+
+            pspecs = (param_specs_stacked(cfg, params) if cfg.scan_layers
+                      else param_specs(cfg, params))
+            self.params = shard_pytree(params, pspecs, mesh)
+            self.cache = shard_pytree(self.cache,
+                                      kv_cache_specs(self.cache), mesh)
+
+            def _tp_decode(c, p, tokens, cache, pos):
+                return tp_decode_step(c, p, tokens, cache, pos, mesh)
+
+            def _tp_prefill(c, p, tokens, cache):
+                return tp_prefill(c, p, tokens, cache, mesh)
+
+            def _tp_scan(c, p, cache, last, pos0, steps):
+                def body(carry, _):
+                    last, cache, pos = carry
+                    logits, cache = tp_decode_step(c, p, last[:, None],
+                                                   cache, pos, mesh)
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (nxt, cache, pos + 1), nxt
+
+                (last, cache, pos), toks = jax.lax.scan(
+                    body, (last, cache, jnp.asarray(pos0, jnp.int32)),
+                    None, length=steps)
+                return jnp.transpose(toks), cache, last, pos
+
+            self._decode = jax.jit(_tp_decode, static_argnums=(0,))
+            self._prefill = jax.jit(_tp_prefill, static_argnums=(0,))
+            self._decode_scan = jax.jit(_tp_scan, static_argnums=(0, 5))
+        else:
+            from sleekit_tpu.models.eval import decode_scan
+
+            self._decode = jax.jit(decode_step, static_argnums=(0,))
+            self._prefill = jax.jit(prefill, static_argnums=(0,))
+            self._decode_scan = decode_scan
 
         # Host-side slot state
         self.slot_req: List[Optional[Request]] = [None] * max_slots
@@ -250,12 +302,10 @@ class Engine:
         self.step()
 
     def _step_fused(self, active, k: int) -> None:
-        from sleekit_tpu.models.eval import decode_scan
-
         last = jnp.asarray(self.slot_last, jnp.int32)
         pos = jnp.asarray(np.minimum(self.slot_pos, self.max_seq_len - 1),
                           jnp.int32)
-        toks, self.cache, _, _ = decode_scan(
+        toks, self.cache, _, _ = self._decode_scan(
             self.cfg, self.params, self.cache, last, pos, k)
         toks = np.asarray(toks)  # (slots, k)
         for slot in active:
@@ -307,7 +357,11 @@ class Engine:
             groups.setdefault(bucket, []).append((slot, req))
 
         for bucket, items in groups.items():
-            rows = _bucket(len(items), lo=1)  # pad count to a power of two
+            # Pad the row count to a power of two (bounded number of
+            # compiled prefill programs); under a mesh, at least the
+            # 'data' axis size so the batch shards evenly.
+            row_lo = self.mesh.shape.get("data", 1) if self._tp else 1
+            rows = _bucket(len(items), lo=row_lo)
             padded = np.zeros((rows, bucket), np.int32)
             lengths = []
             for r, (slot, req) in enumerate(items):
