@@ -20,7 +20,7 @@ def main(argv=None):
     gk = dict(grid_size=args.grid_size, min_factor=args.min_factor,
               max_factor=args.max_factor)
 
-    print("Data\tScaling\tGPTQ\tGPTQ+Bias\tGPTQWithBias")
+    print("Data\tScaling\tGPTQ\tGPTQ+BiasCorrection\tGPTQWithBiasCorrection")
     for name, W, H, mean in iter_layers(args):
         Hc = corrected(H, mean)
         sc = compute_scaling(W, cb, H, mode=args.scaling, **gk)

@@ -20,7 +20,7 @@ def main(argv=None):
     gk = dict(grid_size=args.grid_size, min_factor=args.min_factor,
               max_factor=args.max_factor)
 
-    print("Data\tScaling\tDiag\tErr\tSqerr")
+    print("Data\tScaling\tDiag\tDiagErr\tDiagSqErr")
     for name, W, H, mean in iter_layers(args):
         if args.correct_bias:
             H = corrected(H, mean)

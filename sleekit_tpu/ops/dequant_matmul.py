@@ -124,7 +124,7 @@ def _mantissa_kernel(x_ref, w_ref, o_ref, *, nbits, vpw, compute_dtype):
                         preferred_element_type=jnp.float32)
 
 
-def _pair_kernel(x_ref, w_ref, o_ref, *, nbits, hp, pg):
+def _pair_kernel(x_ref, w_ref, o_ref, *, nbits, hp, pg, kb=1, split=False):
     """Mantissa dequant over the bf16-PAIR layout: 2 values per VPU op.
 
     Each int32 word holds ``2*hp`` indices - ``hp`` bit planes in each
@@ -136,6 +136,11 @@ def _pair_kernel(x_ref, w_ref, o_ref, *, nbits, hp, pg):
     drops the f32->bf16 convert pass: ~1.5 VPU ops/element instead of ~4.
     Exact for nbits <= 7 (bf16 mantissa); the affine correction and
     per-channel scale fold outside (see _pallas_impl).
+
+    ``kb``: pair-layout tiles per grid step (bigger HBM transfers, fewer
+    grid steps). ``split``: one MXU dot per bit plane (K=2*pg each)
+    instead of concatenating planes into one K=2*pg*hp dot - trades a VMEM
+    concat copy for more, shallower MXU passes.
     """
     k_step = pl.program_id(1)
     nk = pl.num_programs(1)
@@ -144,31 +149,47 @@ def _pair_kernel(x_ref, w_ref, o_ref, *, nbits, hp, pg):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    words = w_ref[:]  # (pair_group, BN) int32, pair layout
+    words_all = w_ref[:]  # (kb*pair_group, BN) int32, pair layout
     mlow = ((1 << nbits) - 1) << (7 - nbits)
     mask = jnp.int32(mlow | (mlow << 16))
     one = jnp.int32(0x3F803F80)
-    planes = []
-    for j in range(hp):
-        s = (7 - nbits) - nbits * j
-        if s >= 0:
-            t = lax.shift_left(words, jnp.int32(s))
-        else:
-            t = lax.shift_right_logical(words, jnp.int32(-s))
-        planes.append(pltpu.bitcast((t & mask) | one, jnp.bfloat16))
-    c = jnp.concatenate(planes, axis=0)  # (2*pg*hp, BN) bf16
-    o_ref[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16), c,
-                        preferred_element_type=jnp.float32)
+    bk = 2 * pg * hp
+    x = x_ref[:].astype(jnp.bfloat16)
+    for t in range(kb):
+        words = words_all[t * pg:(t + 1) * pg]
+        planes = []
+        for j in range(hp):
+            s = (7 - nbits) - nbits * j
+            if s >= 0:
+                w = lax.shift_left(words, jnp.int32(s))
+            else:
+                w = lax.shift_right_logical(words, jnp.int32(-s))
+            c = pltpu.bitcast((w & mask) | one, jnp.bfloat16)  # (2pg, BN)
+            if split:
+                xs = x[:, t * bk + j * 2 * pg: t * bk + (j + 1) * 2 * pg]
+                o_ref[:] += jnp.dot(xs, c,
+                                    preferred_element_type=jnp.float32)
+            else:
+                planes.append(c)
+        if not split:
+            c = jnp.concatenate(planes, axis=0)  # (bk, BN) bf16
+            o_ref[:] += jnp.dot(x[:, t * bk:(t + 1) * bk], c,
+                                preferred_element_type=jnp.float32)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Serving-default tuning of the pair kernel, set from kernel_bench sweeps
+# on v5e (experiments/kernel_bench.py; journal in BENCH_NOTES.md).
+PAIR_TUNE = {"kb": 1, "split": False, "dim_sem": False}
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "nbits", "block_n", "interpret"))
+    "nbits", "block_n", "interpret", "kb", "split", "dim_sem"))
 def _pallas_pair_impl(x, packed, scale, *, nbits, affine_a, affine_b,
-                      block_n, interpret):
+                      block_n, interpret, kb=1, split=False, dim_sem=False):
     m, k = x.shape
     kw, n = packed.shape
     hp, pg = pair_planes(nbits), pair_group(nbits)
@@ -176,7 +197,7 @@ def _pallas_pair_impl(x, packed, scale, *, nbits, affine_a, affine_b,
 
     bn = min(block_n, _round_up(n, 128))
     m_pad = _round_up(max(m, 8), 8)
-    kw_pad = _round_up(kw, pg)
+    kw_pad = _round_up(kw, kb * pg)
     k_pad = (kw_pad // pg) * bk
     n_pad = _round_up(n, bn)
 
@@ -184,21 +205,28 @@ def _pallas_pair_impl(x, packed, scale, *, nbits, affine_a, affine_b,
     x_p = lax.dynamic_update_slice(x_p, x, (0, 0))
     packed_p = jnp.pad(packed, ((0, kw_pad - kw), (0, n_pad - n)))
 
-    grid = (n_pad // bn, kw_pad // pg)
-    kernel = functools.partial(_pair_kernel, nbits=nbits, hp=hp, pg=pg)
+    grid = (n_pad // bn, kw_pad // (kb * pg))
+    kernel = functools.partial(_pair_kernel, nbits=nbits, hp=hp, pg=pg,
+                               kb=kb, split=split)
+    kwargs = {}
+    if dim_sem and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,
+                                 pltpu.GridDimensionSemantics.ARBITRARY))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m_pad, bk), lambda i, j: (0, j),
+            pl.BlockSpec((m_pad, kb * bk), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pg, bn), lambda i, j: (j, i),
+            pl.BlockSpec((kb * pg, bn), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m_pad, bn), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
         interpret=interpret,
+        **kwargs,
     )(x_p, packed_p)[:m, :n]
     xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
     return (affine_a * out + affine_b * xs) * scale[None, :]
@@ -303,7 +331,7 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
             y = _pallas_pair_impl(
                 x, w.packed, w.scale, nbits=w.nbits,
                 affine_a=a, affine_b=zero - a,
-                block_n=block_n, interpret=interpret)
+                block_n=block_n, interpret=interpret, **PAIR_TUNE)
             if w.bias is not None:
                 y = y + w.bias[None, :]
             return y.astype(x.dtype)

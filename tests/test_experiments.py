@@ -59,13 +59,14 @@ def test_scaling_cli(datadir, capsys):
 def test_correction_cli(datadir, capsys):
     lines = run_cli(correction, [datadir, "--codebook-size", "4",
                                  "--grid-size", "10"], capsys)
-    assert lines[0] == "Data\tScaling\tGPTQ\tGPTQ+Bias\tGPTQWithBias"
+    assert lines[0] == ("Data\tScaling\tGPTQ\tGPTQ+BiasCorrection"
+                        "\tGPTQWithBiasCorrection")
 
 
 def test_ordering_cli(datadir, capsys):
     lines = run_cli(ordering, [datadir, "--codebook-size", "4",
                                "--grid-size", "10"], capsys)
-    assert lines[0] == "Data\tScaling\tDiag\tErr\tSqerr"
+    assert lines[0] == "Data\tScaling\tDiag\tDiagErr\tDiagSqErr"
 
 
 def test_dampening_cli(datadir, capsys):
