@@ -12,6 +12,7 @@ or pack to the serving format.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Dict, Iterable, List, Optional, Tuple
 
@@ -54,6 +55,44 @@ def calibrate(cfg: TransformerConfig, params, batches: Iterable[jnp.ndarray],
     return stats
 
 
+def _layer_artifact_path(resume_dir: str, name: str) -> str:
+    return os.path.join(resume_dir, name.replace(".", "_") + ".npz")
+
+
+def _save_layer_artifact(resume_dir: str, name: str, Q, bias_delta, scale,
+                         err) -> None:
+    """Atomic per-layer checkpoint (tmp + rename): a crashed quantize_model
+    resumes from the last completed layer (SURVEY.md §5.4 manifest)."""
+    path = _layer_artifact_path(resume_dir, name)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, Q=np.asarray(Q), bias_delta=np.asarray(bias_delta),
+             scale=np.asarray(scale), err=np.asarray(err))
+    os.replace(tmp, path)
+
+
+def _load_layer_artifact(resume_dir: str, name: str):
+    path = _layer_artifact_path(resume_dir, name)
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    return (jnp.asarray(z["Q"]), jnp.asarray(z["bias_delta"]),
+            jnp.asarray(z["scale"]), jnp.asarray(z["err"]))
+
+
+def _apply_solution(params, name, p, cb, Q, bias_delta, scale, qconfig,
+                    pack):
+    bias = p.get("bias")
+    if qconfig.bias_correction and bias is not None:
+        bias = bias + bias_delta
+    if pack:
+        new_p = pack_quantized(Q, scale, cb, bias=bias)
+    else:
+        new_p = {"kernel": Q.T}
+        if bias is not None:
+            new_p["bias"] = bias
+    set_linear_param(params, name, new_p)
+
+
 def quantize_model(
     cfg: TransformerConfig,
     params,
@@ -61,45 +100,123 @@ def quantize_model(
     qconfig: QuantConfig,
     pack: bool = False,
     verbose: bool = False,
+    layer_parallel: bool = False,
+    mesh=None,
+    resume_dir: Optional[str] = None,
 ) -> Tuple[Any, List[LayerReport]]:
     """Quantize every linear layer of the model.
 
     Returns (new params, per-layer reports). With ``pack=True`` linears
     become :class:`PackedLinear` (serving); otherwise weights stay dense
     dequantized f32 (reference semantics, ref statistics.py:186).
+
+    ``layer_parallel=True`` batches independent layers of identical shape
+    into ONE vmapped jitted solve; with ``mesh`` the layer batch is
+    sharded over every mesh device (SURVEY.md §2.3 layer-sweep
+    parallelism). ``resume_dir`` checkpoints each solved layer (atomic
+    .npz) and skips already-solved layers on restart, so a 7B-class
+    quantization survives preemption (SURVEY.md §5.4).
     """
+    if resume_dir is not None:
+        os.makedirs(resume_dir, exist_ok=True)
     # tree_map rebuilds every container (leaves shared), so the per-layer
     # set_linear_param mutations below never touch the caller's tree.
     params = jax.tree_util.tree_map(lambda x: x, params)
-    reports: List[LayerReport] = []
     per_layer_cb = qconfig.codebook_kind == "lloyd"
     explicit_cb = qconfig.codebook_kind != "uniform"
     cb = None if per_layer_cb else qconfig.make_codebook()
-    for name in layer_names(cfg):
+
+    names = layer_names(cfg)
+    solutions: Dict[str, tuple] = {}
+    walls: Dict[str, float] = {}
+    pending = []
+    for name in names:
+        if resume_dir is not None:
+            got = _load_layer_artifact(resume_dir, name)
+            if got is not None:
+                solutions[name] = got
+                walls[name] = 0.0
+                continue
+        pending.append(name)
+
+    if layer_parallel and not per_layer_cb and pending:
+        groups: Dict[Tuple[int, int], List[str]] = {}
+        for name in pending:
+            W = get_linear_param(params, name)["kernel"]
+            groups.setdefault((W.shape[1], W.shape[0]), []).append(name)
+        for shape, group in groups.items():
+            t0 = time.time()
+            outs = _solve_layer_batch(params, stats, group, qconfig,
+                                      cb if explicit_cb else None, mesh)
+            wall = (time.time() - t0) / len(group)
+            for name, out in zip(group, outs):
+                solutions[name] = out
+                walls[name] = wall
+                if resume_dir is not None:
+                    _save_layer_artifact(resume_dir, name, *out)
+        pending = []
+
+    for name in pending:
         t0 = time.time()
         p = get_linear_param(params, name)
         st = stats[name]
         W = p["kernel"].T  # (out, in), the quantizer's layout
         if per_layer_cb:
             cb = qconfig.make_codebook(W)
-        Q, bias_delta, scale, err = quantize_layer(
+        out = quantize_layer(
             W, st.hessian, st.mean, qconfig, cb if explicit_cb else None)
-        bias = p.get("bias")
-        if qconfig.bias_correction and bias is not None:
-            bias = bias + bias_delta
-        if pack:
-            new_p = pack_quantized(Q, scale, cb, bias=bias)
-        else:
-            new_p = {"kernel": Q.T}
-            if bias is not None:
-                new_p["bias"] = bias
-        set_linear_param(params, name, new_p)
-        wall = time.time() - t0
-        report = LayerReport(name=name, error=float(jnp.sum(err)), wall_s=wall)
+        solutions[name] = out
+        walls[name] = time.time() - t0
+        if resume_dir is not None:
+            _save_layer_artifact(resume_dir, name, *out)
+
+    reports: List[LayerReport] = []
+    for name in names:
+        Q, bias_delta, scale, err = solutions[name]
+        p = get_linear_param(params, name)
+        if per_layer_cb:
+            cb = qconfig.make_codebook(p["kernel"].T)
+        _apply_solution(params, name, p, cb, Q, bias_delta, scale, qconfig,
+                        pack)
+        report = LayerReport(name=name, error=float(jnp.sum(err)),
+                             wall_s=walls[name])
         reports.append(report)
         if verbose:
-            print(f"  {name:24s} err={report.error:12.5g} {wall:6.2f}s")
+            print(f"  {name:24s} err={report.error:12.5g} "
+                  f"{report.wall_s:6.2f}s")
     return params, reports
+
+
+def _solve_layer_batch(params, stats, group: List[str],
+                       qconfig: QuantConfig, codebook, mesh):
+    """One vmapped quantize_layer over a stack of same-shape layers,
+    optionally sharded over all mesh devices (the layer axis is the batch
+    axis; each per-layer solve is one independent program instance)."""
+    from sleekit_tpu.pipeline import quantize_layer as _ql
+
+    Ws = jnp.stack([get_linear_param(params, n)["kernel"].T for n in group])
+    Hs = jnp.stack([stats[n].hessian for n in group])
+    mus = jnp.stack([stats[n].mean for n in group])
+    n_layers = Ws.shape[0]
+
+    pad = 0
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        pad = (-n_layers) % n_dev
+        if pad:
+            idx = jnp.arange(n_layers + pad) % n_layers
+            Ws, Hs, mus = Ws[idx], Hs[idx], mus[idx]
+        axes = tuple(mesh.axis_names)
+        sh = NamedSharding(mesh, P(axes))
+        Ws, Hs, mus = (jax.device_put(x, sh) for x in (Ws, Hs, mus))
+
+    fn = jax.jit(jax.vmap(lambda W, H, mu: _ql(W, H, mu, qconfig, codebook)),
+                 static_argnums=())
+    Q, bd, sc, err = fn(Ws, Hs, mus)
+    outs = [(Q[i], bd[i], sc[i], err[i]) for i in range(n_layers)]
+    return outs
 
 
 def pack_lm_head(cfg: TransformerConfig, params, nbits: int = 8):

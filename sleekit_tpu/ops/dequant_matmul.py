@@ -183,7 +183,14 @@ def _round_up(x: int, m: int) -> int:
 
 # Serving-default tuning of the pair kernel, set from kernel_bench sweeps
 # on v5e (experiments/kernel_bench.py; journal in BENCH_NOTES.md).
-PAIR_TUNE = {"kb": 1, "split": False, "dim_sem": False}
+# kb=0 means auto: ~256 word rows per grid step (the sweep optimum for
+# both the 32-row int4 and 64-row int3 pair groups; 512-row steps and
+# block_n=2048 both regress).
+PAIR_TUNE = {"kb": 0, "split": False, "dim_sem": False}
+
+
+def _pair_kb(nbits: int, kb: int) -> int:
+    return kb if kb > 0 else max(1, 256 // pair_group(nbits))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -193,6 +200,7 @@ def _pallas_pair_impl(x, packed, scale, *, nbits, affine_a, affine_b,
     m, k = x.shape
     kw, n = packed.shape
     hp, pg = pair_planes(nbits), pair_group(nbits)
+    kb = _pair_kb(nbits, kb)
     bk = 2 * pg * hp
 
     bn = min(block_n, _round_up(n, 128))
