@@ -34,11 +34,22 @@ def workload():
     return W, H, mean
 
 
+# Reference-implementation results on the EXACT workload above, measured
+# by running /root/reference/sleekit (NumPy float64 promotion) with the
+# same pipelines (see the recipe in this file's git history / the A/B
+# harness experiments/ab_reference.py). These turn the old hand-waved
+# -3%/-10% bounds into tolerances derived from the direct A/B
+# (VERDICT.md round-1 item 10): per-layer agreement is ~0% in practice
+# (PARITY_r02.md), so +-2% (+-5% for heavy, whose discrete local-search
+# path can diverge) is generous but trips loudly on any real regression.
+REF_E_STD = 14.20737
+REF_LIGHT_RATIO = 0.93642  # e_light / e_std in the reference
+REF_HEAVY_RATIO = 0.81095  # e_heavy / e_std in the reference
+
+
 def test_sleekit_improvements_vs_standard_gptq(workload):
-    """The compare.py pipelines on a fixed workload: light and heavy must
-    beat standard GPTQ by conservative margins (reference reports -25%
-    and -35% at 3-bit on real layers; we require -3%/-10% on synthetic
-    Gaussian weights, a much harder case for these tricks)."""
+    """The compare.py pipelines on a fixed workload, pinned to the
+    reference implementation's measured errors on the same inputs."""
     W, H, mean = workload
     Hc = remove_input_bias(H, mean)
     cb = UniformCodebook(8, -1.0, 1.0)
@@ -56,8 +67,9 @@ def test_sleekit_improvements_vs_standard_gptq(workload):
                                   damp=0.03, nb_ls_moves=100)
     e_heavy = float(quantization_error(W, heavy, Hc))
 
-    assert e_light < e_std * 0.97, (e_std, e_light)
-    assert e_heavy < e_std * 0.90, (e_std, e_heavy)
+    assert abs(e_std - REF_E_STD) / REF_E_STD < 0.02, e_std
+    assert abs(e_light / e_std - REF_LIGHT_RATIO) < 0.02, (e_std, e_light)
+    assert abs(e_heavy / e_std - REF_HEAVY_RATIO) < 0.05, (e_std, e_heavy)
     assert e_heavy < e_light
 
 
