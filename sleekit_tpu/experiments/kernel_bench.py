@@ -125,8 +125,8 @@ def main(argv=None):
 
                 def fn(x, p=p, a=a, zero=zero, kb=kb, split=split, dim=dim):
                     return _pallas_pair_impl(
-                        x, p.packed, p.scale, nbits=p.nbits, affine_a=a,
-                        affine_b=zero - a, block_n=args.block_n,
+                        x, p.packed, p.scale, p.bias, nbits=p.nbits,
+                        affine_a=a, affine_b=zero - a, block_n=args.block_n,
                         interpret=False, kb=kb, split=split, dim_sem=dim)
                 nbytes = int(p.packed.size) * 4
             else:

@@ -33,6 +33,12 @@ def main(argv=None):
     ap.add_argument("--nbits", type=int, default=4)
     ap.add_argument("--dense", action="store_true",
                     help="profile the bf16 dense path instead of packed")
+    ap.add_argument("--layout", default="pair",
+                    help="packed layout (pair/plane), default = serving default")
+    ap.add_argument("--kv", default="int8", choices=("bf16", "int8"),
+                    help="KV-cache dtype for the full variant")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="skip the serving-time q|k|v fusion")
     ap.add_argument("--variants", default="full,no_unembed,linears_only,attn_only")
     args = ap.parse_args(argv)
 
@@ -58,10 +64,16 @@ def main(argv=None):
     if args.dense:
         params = stack_layer_params(init_params(cfg, key))
         tag = "bf16 dense"
+        kv_dtype = jnp.bfloat16
     else:
+        from sleekit_tpu.models.quantize import pack_lm_head
+
         params, _ = random_packed_params(
-            cfg, key, UniformCodebook(2 ** args.nbits, -1.0, 1.0))
-        tag = f"int{args.nbits} packed"
+            cfg, key, UniformCodebook(2 ** args.nbits, -1.0, 1.0),
+            fuse_qkv=not args.no_fuse, layout=args.layout)
+        params = pack_lm_head(cfg, params, nbits=8)
+        tag = f"int{args.nbits} packed ({args.layout})"
+        kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[args.kv]
     b, steps, ctx = args.batch, args.steps, args.ctx
     log(f"profile: {args.model} {tag} batch={b} steps={steps} ctx={ctx} "
         f"on {jax.devices()[0].platform}")
@@ -98,7 +110,7 @@ def main(argv=None):
     # --- full decode (the bench path) ---------------------------------
     if "full" in variants:
         def run_full():
-            cache = init_kv_cache(cfg, b, ctx, dtype=jnp.bfloat16)
+            cache = init_kv_cache(cfg, b, ctx, dtype=kv_dtype)
             toks, *_ = decode_scan(cfg, params, cache,
                                    jnp.zeros((b,), jnp.int32),
                                    jnp.int32(0), steps)
@@ -139,12 +151,24 @@ def main(argv=None):
                 def layer_body(x, layer):
                     a = layer["attn"]
                     m = layer["mlp"]
-                    h = apply_linear(a["q"], x)
-                    h = h + apply_linear(a["k"], x).mean() \
-                        + apply_linear(a["v"], x).mean()
+                    if "qkv" in a:  # serving-time fused projections
+                        h = apply_linear(a["qkv"], x)[..., :cfg.d_model]
+                    else:
+                        h = apply_linear(a["q"], x)
+                        h = h + apply_linear(a["k"], x).mean() \
+                            + apply_linear(a["v"], x).mean()
                     h = apply_linear(a["o"], h)
-                    g = apply_linear(m["fc1"], h)
-                    h = apply_linear(m["fc2"], g)
+                    if "gate_up" in m:
+                        gu = apply_linear(m["gate_up"], h)
+                        half = gu.shape[-1] // 2
+                        h = apply_linear(m["down"],
+                                         gu[..., :half] * gu[..., half:])
+                    elif "gate" in m:
+                        g = apply_linear(m["gate"], h) * apply_linear(m["up"], h)
+                        h = apply_linear(m["down"], g)
+                    else:
+                        g = apply_linear(m["fc1"], h)
+                        h = apply_linear(m["fc2"], g)
                     return x + 1e-6 * h, None
                 x, _ = jax.lax.scan(layer_body, x, params["layers"])
                 return x, jnp.sum(x.astype(jnp.float32))
@@ -157,6 +181,8 @@ def main(argv=None):
     if "attn_only" in variants:
         from sleekit_tpu.ops.attention import decode_attention
 
+        quant_kv = kv_dtype == jnp.int8
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_attn(cache):
             hd, kv = cfg.head_dim, cfg.kv_heads
@@ -167,26 +193,34 @@ def main(argv=None):
                 pos_vec = jnp.broadcast_to(pos, (b,))
 
                 def layer_body(inner, lidx):
-                    x, ck, cv = inner
+                    x, cache = inner
                     q = x.reshape(b, cfg.n_heads, hd)
                     k = x[:, 0, : kv * hd].reshape(b, kv, hd)
-                    out, ck, cv = decode_attention(
-                        q, k, k, ck, cv, pos_vec, lidx)
-                    return (x + out.reshape(b, 1, cfg.d_model), ck, cv), None
+                    if quant_kv:
+                        out, ck, cv, ks, vs = decode_attention(
+                            q, k, k, cache["k"], cache["v"], pos_vec, lidx,
+                            k_scale=cache["k_scale"],
+                            v_scale=cache["v_scale"])
+                        cache = {"k": ck, "v": cv,
+                                 "k_scale": ks, "v_scale": vs}
+                    else:
+                        out, ck, cv = decode_attention(
+                            q, k, k, cache["k"], cache["v"], pos_vec, lidx)
+                        cache = {"k": ck, "v": cv}
+                    return (x + out.reshape(b, 1, cfg.d_model), cache), None
 
-                (x, ck, cv), _ = jax.lax.scan(
-                    layer_body, (x0, cache["k"], cache["v"]),
-                    jnp.arange(cfg.n_layers))
-                return ({"k": ck, "v": cv}, pos + 1), jnp.sum(
-                    x.astype(jnp.float32))
+                (x, cache), _ = jax.lax.scan(
+                    layer_body, (x0, cache), jnp.arange(cfg.n_layers))
+                return (cache, pos + 1), jnp.sum(x.astype(jnp.float32))
             (cache, _), outs = jax.lax.scan(
                 step_body, (cache, jnp.int32(0)), None, length=steps)
             return outs
 
         def go_attn():
-            cache = init_kv_cache(cfg, b, ctx, dtype=jnp.bfloat16)
+            cache = init_kv_cache(cfg, b, ctx, dtype=kv_dtype)
             return run_attn(cache)
-        results["attn_only"] = timed(go_attn, tag="attn+kv only")
+        results["attn_only"] = timed(
+            go_attn, tag=f"attn+kv only ({args.kv if not args.dense else 'bf16'})")
 
     log("")
     for k, v in results.items():

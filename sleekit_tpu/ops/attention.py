@@ -181,8 +181,8 @@ def _decode_kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, slopes_ref,
     Online-softmax state (acc, m, l) carries across S blocks.
     """
     b = pl.program_id(0)
-    ns = pl.program_id(1)
-    n_s = pl.num_programs(1)
+    ns = pl.program_id(2)
+    n_s = pl.num_programs(2)
     del layer_ref
     rows, cols = kv * groups, kv * s_blk
 
@@ -251,12 +251,24 @@ def _decode_kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, slopes_ref,
         o_ref[0] = out.reshape(kv, groups, D_).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_s", "interpret"))
+# KV heads folded per flash-decode program; None = fold ALL heads into
+# one dot per (batch, s-block) program. Folding inflates the logits
+# matrix (and the VPU softmax/mask passes over it) by the fold factor,
+# but the v5e sweep (experiments/attn_bench.py, OPT-1.3B geometry,
+# int8 KV) shows grid-step overhead dominates the saved VPU work:
+# kv_chunk 8 = 39.6 us/layer vs full fold 32.2 us/layer. Full fold
+# stays the default; the knob remains for other geometries.
+FLASH_KV_CHUNK = None
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_s",
+                                             "kv_chunk", "interpret"))
 def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
                         scale: float,
                         alibi_slopes: Optional[jnp.ndarray] = None,
                         k_scale=None, v_scale=None,
                         block_s: int = 256,
+                        kv_chunk: Optional[int] = None,
                         interpret: bool = False):
     """Masked decode attention out = softmax(q K^T / sqrt(D)) V.
 
@@ -266,13 +278,23 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
     head h // G. ALiBi slopes: (H,) f32 or None. Long contexts stream in
     ``block_s``-sized S blocks with online softmax. With
     ``k_scale``/``v_scale`` (L, B, KV, S) the cache holds int8 values
-    dequantized on the fly (per-token symmetric scales).
+    dequantized on the fly (per-token symmetric scales). ``kv_chunk``
+    KV heads fold into each program's dot (default FLASH_KV_CHUNK).
     """
     L, B, KV, S, D = cache_k.shape
     Bq, H, Dq = q.shape
     assert (Bq, Dq) == (B, D) and H % KV == 0
     G = H // KV
-    rows = KV * G
+    kvc = kv_chunk or FLASH_KV_CHUNK or KV
+    if KV % kvc != 0:
+        kvc = KV
+    kvc = min(kvc, KV)
+    while (kvc * G < 8 or KV % kvc != 0) and kvc < KV:
+        kvc *= 2          # keep >= 8 sublane rows and KV divisibility
+    if KV % kvc != 0:
+        kvc = KV
+    n_c = KV // kvc
+    rows = kvc * G
     s_blk = min(block_s, S)
     assert S % s_blk == 0
     n_s = S // s_blk
@@ -280,28 +302,29 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
     pos = jnp.clip(jnp.broadcast_to(pos, (B,)).astype(jnp.int32), 0, S - 1)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
 
-    def cache_map(b, ns, p, l):
-        return (l[0], b, 0, ns, 0)
+    def cache_map(b, c, ns, p, l):
+        return (l[0], b, c, ns, 0)
 
+    q_map = lambda b, c, ns, p, l: (b, c, 0, 0)  # noqa: E731
     in_specs = [
-        pl.BlockSpec((1, KV, G, D), lambda b, ns, p, l: (b, 0, 0, 0),
+        pl.BlockSpec((1, kvc, G, D), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, kvc, s_blk, D), cache_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, KV, s_blk, D), cache_map,
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, KV, s_blk, D), cache_map,
+        pl.BlockSpec((1, 1, kvc, s_blk, D), cache_map,
                      memory_space=pltpu.VMEM),
     ]
     args = [pos, layer, q4, cache_k, cache_v]
     has_slopes = alibi_slopes is not None
     has_scales = k_scale is not None
     if has_slopes:
-        slopes2 = jnp.asarray(alibi_slopes, jnp.float32).reshape(rows, 1)
-        in_specs.append(pl.BlockSpec((rows, 1), lambda b, ns, p, l: (0, 0),
+        slopes2 = jnp.asarray(alibi_slopes, jnp.float32).reshape(KV * G, 1)
+        in_specs.append(pl.BlockSpec((rows, 1),
+                                     lambda b, c, ns, p, l: (c, 0),
                                      memory_space=pltpu.VMEM))
         args.append(slopes2)
     if has_scales:
-        sspec = pl.BlockSpec((1, 1, KV, s_blk),
-                             lambda b, ns, p, l: (l[0], b, 0, ns),
+        sspec = pl.BlockSpec((1, 1, kvc, s_blk),
+                             lambda b, c, ns, p, l: (l[0], b, c, ns),
                              memory_space=pltpu.VMEM)
         in_specs += [sspec, sspec]
         args += [k_scale, v_scale]
@@ -314,13 +337,13 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
         vs = rest[i + 1] if has_scales else None
         i += 2 * int(has_scales)
         _decode_kernel(pr, lr, qr, kr, vr, slopes, ks, vs, *rest[i:],
-                       scale=scale, kv=KV, groups=G, s_blk=s_blk)
+                       scale=scale, kv=kvc, groups=G, s_blk=s_blk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, n_s),
+        grid=(B, n_c, n_s),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, KV, G, D), lambda b, ns, p, l: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, kvc, G, D), q_map,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rows, D), jnp.float32),    # acc

@@ -124,7 +124,8 @@ def _mantissa_kernel(x_ref, w_ref, o_ref, *, nbits, vpw, compute_dtype):
                         preferred_element_type=jnp.float32)
 
 
-def _pair_kernel(x_ref, w_ref, o_ref, *, nbits, hp, pg, kb=1, split=False):
+def _pair_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref, xs_ref,
+                 *, nbits, hp, pg, a_aff, b_aff, kb=1, split=False):
     """Mantissa dequant over the bf16-PAIR layout: 2 values per VPU op.
 
     Each int32 word holds ``2*hp`` indices - ``hp`` bit planes in each
@@ -134,8 +135,13 @@ def _pair_kernel(x_ref, w_ref, o_ref, *, nbits, hp, pg, kb=1, split=False):
     bf16 bitcast (free) expands word row p to bf16 rows (2p, 2p+1).
     Versus the f32 mantissa kernel this halves the shift/mask work AND
     drops the f32->bf16 convert pass: ~1.5 VPU ops/element instead of ~4.
-    Exact for nbits <= 7 (bf16 mantissa); the affine correction and
-    per-channel scale fold outside (see _pallas_impl).
+    Exact for nbits <= 7 (bf16 mantissa).
+
+    The whole affine epilogue is fused into the final K step:
+    ``o = (a*acc + b*rowsum(x)) * scale + bias`` cast to the output
+    dtype - zero XLA elementwise launches after the kernel (per decode
+    step there are ~4 matmuls x n_layers; the separate correction ops
+    were real launch overhead, BENCH_NOTES.md round 2).
 
     ``kb``: pair-layout tiles per grid step (bigger HBM transfers, fewer
     grid steps). ``split``: one MXU dot per bit plane (K=2*pg each)
@@ -147,7 +153,8 @@ def _pair_kernel(x_ref, w_ref, o_ref, *, nbits, hp, pg, kb=1, split=False):
 
     @pl.when(k_step == 0)
     def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        xs_ref[:] = jnp.zeros_like(xs_ref)
 
     words_all = w_ref[:]  # (kb*pair_group, BN) int32, pair layout
     mlow = ((1 << nbits) - 1) << (7 - nbits)
@@ -155,6 +162,9 @@ def _pair_kernel(x_ref, w_ref, o_ref, *, nbits, hp, pg, kb=1, split=False):
     one = jnp.int32(0x3F803F80)
     bk = 2 * pg * hp
     x = x_ref[:].astype(jnp.bfloat16)
+    if b_aff != 0.0:
+        xs_ref[:, :1] += jnp.sum(x_ref[:].astype(jnp.float32), axis=1,
+                                 keepdims=True)
     for t in range(kb):
         words = words_all[t * pg:(t + 1) * pg]
         planes = []
@@ -167,14 +177,22 @@ def _pair_kernel(x_ref, w_ref, o_ref, *, nbits, hp, pg, kb=1, split=False):
             c = pltpu.bitcast((w & mask) | one, jnp.bfloat16)  # (2pg, BN)
             if split:
                 xs = x[:, t * bk + j * 2 * pg: t * bk + (j + 1) * 2 * pg]
-                o_ref[:] += jnp.dot(xs, c,
-                                    preferred_element_type=jnp.float32)
+                acc_ref[:] += jnp.dot(xs, c,
+                                      preferred_element_type=jnp.float32)
             else:
                 planes.append(c)
         if not split:
             c = jnp.concatenate(planes, axis=0)  # (bk, BN) bf16
-            o_ref[:] += jnp.dot(x[:, t * bk:(t + 1) * bk], c,
-                                preferred_element_type=jnp.float32)
+            acc_ref[:] += jnp.dot(x[:, t * bk:(t + 1) * bk], c,
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(k_step == nk - 1)
+    def _():
+        out = a_aff * acc_ref[:]
+        if b_aff != 0.0:
+            out = out + b_aff * xs_ref[:, :1]
+        out = out * scale_ref[0, :][None, :] + bias_ref[0, :][None, :]
+        o_ref[:] = out.astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -194,8 +212,9 @@ def _pair_kb(nbits: int, kb: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "nbits", "block_n", "interpret", "kb", "split", "dim_sem"))
-def _pallas_pair_impl(x, packed, scale, *, nbits, affine_a, affine_b,
+    "nbits", "affine_a", "affine_b", "block_n", "interpret",
+    "kb", "split", "dim_sem"))
+def _pallas_pair_impl(x, packed, scale, bias, *, nbits, affine_a, affine_b,
                       block_n, interpret, kb=1, split=False, dim_sem=False):
     m, k = x.shape
     kw, n = packed.shape
@@ -209,12 +228,22 @@ def _pallas_pair_impl(x, packed, scale, *, nbits, affine_a, affine_b,
     k_pad = (kw_pad // pg) * bk
     n_pad = _round_up(n, bn)
 
-    x_p = jnp.zeros((m_pad, k_pad), x.dtype)
-    x_p = lax.dynamic_update_slice(x_p, x, (0, 0))
-    packed_p = jnp.pad(packed, ((0, kw_pad - kw), (0, n_pad - n)))
+    if (m_pad, k_pad) == (m, k):
+        x_p = x
+    else:
+        x_p = jnp.zeros((m_pad, k_pad), x.dtype)
+        x_p = lax.dynamic_update_slice(x_p, x, (0, 0))
+    packed_p = (packed if (kw_pad, n_pad) == (kw, n)
+                else jnp.pad(packed, ((0, kw_pad - kw), (0, n_pad - n))))
+    scale_p = jnp.pad(scale, (0, n_pad - n)).reshape(1, n_pad)
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    bias_p = jnp.pad(bias.astype(jnp.float32),
+                     (0, n_pad - n)).reshape(1, n_pad)
 
     grid = (n_pad // bn, kw_pad // (kb * pg))
     kernel = functools.partial(_pair_kernel, nbits=nbits, hp=hp, pg=pg,
+                               a_aff=affine_a, b_aff=affine_b,
                                kb=kb, split=split)
     kwargs = {}
     if dim_sem and not interpret:
@@ -229,15 +258,22 @@ def _pallas_pair_impl(x, packed, scale, *, nbits, affine_a, affine_b,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kb * pg, bn), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m_pad, bn), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m_pad, bn), jnp.float32),   # f32 accumulator
+            pltpu.VMEM((m_pad, 128), jnp.float32),  # rowsum(x) carry
+        ],
         interpret=interpret,
         **kwargs,
-    )(x_p, packed_p)[:m, :n]
-    xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
-    return (affine_a * out + affine_b * xs) * scale[None, :]
+    )(x_p, packed_p, scale_p, bias_p)
+    return out[:m, :n]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -255,9 +291,13 @@ def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
     k_pad = kw_pad * vpw
     n_pad = _round_up(n, bn)
 
-    x_p = jnp.zeros((m_pad, k_pad), x.dtype)
-    x_p = lax.dynamic_update_slice(x_p, x, (0, 0))
-    packed_p = jnp.pad(packed, ((0, kw_pad - kw), (0, n_pad - n)))
+    if (m_pad, k_pad) == (m, k):
+        x_p = x
+    else:
+        x_p = jnp.zeros((m_pad, k_pad), x.dtype)
+        x_p = lax.dynamic_update_slice(x_p, x, (0, 0))
+    packed_p = (packed if (kw_pad, n_pad) == (kw, n)
+                else jnp.pad(packed, ((0, kw_pad - kw), (0, n_pad - n))))
 
     grid = (n_pad // bn, kw_pad // PLANE_GROUP)
     # bf16 inputs take the bf16 MXU fast path; f32 inputs keep full
@@ -336,13 +376,10 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
                 and x.dtype == jnp.bfloat16):
             step, zero = w.affine
             a = step * float(2 ** w.nbits)
-            y = _pallas_pair_impl(
-                x, w.packed, w.scale, nbits=w.nbits,
+            return _pallas_pair_impl(
+                x, w.packed, w.scale, w.bias, nbits=w.nbits,
                 affine_a=a, affine_b=zero - a,
                 block_n=block_n, interpret=interpret, **PAIR_TUNE)
-            if w.bias is not None:
-                y = y + w.bias[None, :]
-            return y.astype(x.dtype)
         return dequant_matmul_xla(x, w)
     if w.layout != "plane":
         # Linear-layout weights fall back to the XLA oracle; repack with

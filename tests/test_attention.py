@@ -146,6 +146,40 @@ def test_int8_kv_kernels_match_oracle():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("G", [1, 2])
+@pytest.mark.parametrize("alibi", [False, True])
+def test_flash_decode_kv_chunked_grid(G, alibi):
+    """KV > kv_chunk exercises the chunked grid (n_c > 1 programs per
+    (batch, s-block)): must match the oracle and the full fold, incl.
+    int8 per-token scales and ALiBi."""
+    ck, cv, kn, vn, q, pos = _setup(L=2, B=2, KV=16, S=32, G=G)
+    layer = jnp.int32(1)
+    H = q.shape[1]
+    slopes = jnp.linspace(0.05, 0.9, H) if alibi else None
+    scale = 1.0 / np.sqrt(ck.shape[-1])
+    o_ref = flash_decode_xla(q, ck, cv, pos, layer, scale,
+                             alibi_slopes=slopes)
+    for chunk in (4, 8, 16):
+        o = flash_decode_pallas(q, ck, cv, pos, layer, scale,
+                                alibi_slopes=slopes, kv_chunk=chunk,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o),
+                                   rtol=1e-5, atol=1e-5)
+    # int8 cache with per-token scales through the chunked grid
+    L, B, KV, S, D = ck.shape
+    ck8, cv8, ks, vs = kv_append_xla(
+        kn, vn, jnp.zeros(ck.shape, jnp.int8), jnp.zeros(cv.shape, jnp.int8),
+        pos, layer, k_scale=jnp.zeros((L, B, KV, S), jnp.float32),
+        v_scale=jnp.zeros((L, B, KV, S), jnp.float32))
+    o1 = flash_decode_xla(q, ck8, cv8, pos, layer, scale,
+                          k_scale=ks, v_scale=vs)
+    o2 = flash_decode_pallas(q, ck8, cv8, pos, layer, scale,
+                             k_scale=ks, v_scale=vs, kv_chunk=8,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("scan_layers", [False, True])
 def test_int8_kv_cache_end_to_end(scan_layers):
     """decode with an int8 cache tracks the f32-cache decode closely."""
