@@ -57,6 +57,19 @@ def main():
                 "fp8": jnp.float8_e4m3fn}[
         os.environ.get("BENCH_KV", "int8")]
 
+    # Full-context pair-kernel tuning A/B: BENCH_PAIR_TUNE=kb0s1d1 etc.
+    # (microbench sweeps don't transfer; see ops/dequant_matmul.PAIR_TUNE).
+    tune = os.environ.get("BENCH_PAIR_TUNE")
+    if tune:
+        import re
+
+        import sleekit_tpu.ops.dequant_matmul as dq
+        mm = re.match(r"kb(\d+)s(\d)d(\d)", tune)
+        dq.PAIR_TUNE = {"kb": int(mm.group(1)),
+                        "split": bool(int(mm.group(2))),
+                        "dim_sem": bool(int(mm.group(3)))}
+        log(f"  PAIR_TUNE override: {dq.PAIR_TUNE}")
+
     from sleekit_tpu.codebooks import UniformCodebook
     from sleekit_tpu.models.eval import decode_scan
     from sleekit_tpu.models.fake_quant import random_packed_params

@@ -203,9 +203,12 @@ def _decode_kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, slopes_ref,
                              preferred_element_type=jnp.float32) * scale
     if ks_ref is not None:
         # int8 cache: per-token scales stored (KV, SB). A (1, cols) lane
-        # vector would need a cross-tile relayout (unsupported); instead
-        # extract each head's scale row with a one-hot sublane reduction
-        # and concat the clean-layout (1, SB) vectors along lanes.
+        # vector would need a cross-tile relayout (unsupported); extract
+        # each head's scale row with a one-hot sublane reduction and
+        # concat the clean-layout (1, SB) vectors along lanes. (A flat
+        # (1, KV*S) view of the scale plane passed from outside measures
+        # FASTER in-kernel but forces a 6 MB relayout copy of the carried
+        # cache scales per call - net 0.4 ms/step loss; round-2 journal.)
         kv_iota = lax.broadcasted_iota(jnp.int32, (kv, 1), 0)
 
         def lane_vec(ref):
@@ -233,12 +236,7 @@ def _decode_kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, slopes_ref,
     l_new = l_ref[:, :1] * alpha + jnp.sum(p_exp, axis=-1, keepdims=True)
     v = v_ref[0, 0].reshape(cols, D_)
     if vs_ref is not None:
-        kv_iota2 = lax.broadcasted_iota(jnp.int32, (kv, 1), 0)
-        t = vs_ref[0, 0]
-        vsv = jnp.concatenate(
-            [jnp.sum(jnp.where(kv_iota2 == i, t, 0.0), axis=0,
-                     keepdims=True) for i in range(kv)], axis=1)
-        p_exp = p_exp * vsv
+        p_exp = p_exp * lane_vec(vs_ref)
     pv = jnp.dot(p_exp.astype(cdt), v.astype(cdt),
                  preferred_element_type=jnp.float32)         # (rows, D)
     acc_ref[...] = acc_ref[...] * alpha + pv

@@ -199,11 +199,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-# Serving-default tuning of the pair kernel, set from kernel_bench sweeps
-# on v5e (experiments/kernel_bench.py; journal in BENCH_NOTES.md).
-# kb=0 means auto: ~256 word rows per grid step (the sweep optimum for
-# both the 32-row int4 and 64-row int3 pair groups; 512-row steps and
-# block_n=2048 both regress).
+# Serving-default tuning of the pair kernel. kb=0 means auto (~256 word
+# rows per grid step); split = one MXU dot per bit plane (no VMEM
+# concat); dim_sem = PARALLEL/ARBITRARY grid semantics. NOTE (round-2
+# journal): isolated kernel_bench sweeps said split+dim_sem win 15-25%
+# per shape, but the FULL fused decode regressed 3.06 -> 3.52 ms/step
+# with them - microbenchmark wins do not transfer across back-to-back
+# kernel launches here. Tuning decisions are taken on the full bench
+# (BENCH_PAIR_TUNE=kb<K>s<0|1>d<0|1> env A/B in bench.py).
 PAIR_TUNE = {"kb": 0, "split": False, "dim_sem": False}
 
 

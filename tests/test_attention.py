@@ -173,11 +173,13 @@ def test_flash_decode_kv_chunked_grid(G, alibi):
         v_scale=jnp.zeros((L, B, KV, S), jnp.float32))
     o1 = flash_decode_xla(q, ck8, cv8, pos, layer, scale,
                           k_scale=ks, v_scale=vs)
-    o2 = flash_decode_pallas(q, ck8, cv8, pos, layer, scale,
-                             k_scale=ks, v_scale=vs, kv_chunk=8,
-                             interpret=True)
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
-                               rtol=1e-5, atol=1e-5)
+    for block_s in (32, 16):  # n_s=1 takes the flat-scale lane vector,
+        o2 = flash_decode_pallas(q, ck8, cv8, pos, layer, scale,
+                                 k_scale=ks, v_scale=vs, kv_chunk=8,
+                                 block_s=block_s,  # n_s=2 the one-hot path
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("scan_layers", [False, True])

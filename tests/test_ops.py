@@ -182,6 +182,38 @@ def test_pair_kernel_matches_xla(nbits):
     assert err < 2e-2, (nbits, err)
 
 
+@pytest.mark.parametrize("nbits", [3, 4])
+@pytest.mark.parametrize("kb,split", [(1, False), (4, True), (0, True)])
+def test_pair_kernel_tuning_variants_match_xla(nbits, kb, split):
+    """Every tuned pair-kernel configuration (tiles/step, split dots)
+    computes the same result - the serving PAIR_TUNE values are swept on
+    hardware, so correctness must hold for the whole knob space, incl.
+    bias + affine epilogue fused in-kernel."""
+    from sleekit_tpu.ops.dequant_matmul import _pallas_pair_impl
+    from sleekit_tpu.ops.pack import affine_from_lut
+
+    rng = np.random.RandomState(7 + nbits)
+    K, N = 1280, 160
+    lut = np.linspace(-0.9, 1.0, 2 ** nbits).astype(np.float32)
+    idx = jnp.asarray(rng.randint(0, 2 ** nbits, (K, N)), jnp.int32)
+    bias = jnp.asarray(rng.randn(N).astype(np.float32))
+    w = PackedLinear(
+        packed=pack_indices(idx, nbits, layout="pair"),
+        scale=jnp.asarray(rng.rand(N).astype(np.float32) + 0.5),
+        lut=jnp.asarray(lut), bias=bias, in_features=K, out_features=N,
+        nbits=nbits, affine=affine_from_lut(lut), layout="pair")
+    x = jnp.asarray(rng.randn(4, K).astype(np.float32)).astype(jnp.bfloat16)
+    oracle = np.asarray(dequant_matmul_xla(x, w), np.float32)
+    step, zero = w.affine
+    a = step * float(2 ** nbits)
+    got = np.asarray(_pallas_pair_impl(
+        x, w.packed, w.scale, w.bias, nbits=nbits, affine_a=a,
+        affine_b=zero - a, block_n=128, interpret=True,
+        kb=kb, split=split), np.float32)
+    err = np.abs(got - oracle).max() / (np.abs(oracle).max() + 1e-9)
+    assert err < 2e-2, (nbits, kb, split, err)
+
+
 def test_pair_layout_fake_quant_forward_matches_plane():
     """random_packed_params(layout='pair') packs the same model geometry;
     forward logits agree between layouts when built from identical
