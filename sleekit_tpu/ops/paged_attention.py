@@ -147,11 +147,15 @@ def paged_flash_decode_pallas(q, pool_k, pool_v, page_table, pos, layer,
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     pt = page_table.astype(jnp.int32)
 
-    def cache_map(b, j, pos_ref, pt_ref, layer_ref):
+    # _decode_kernel reads the S-block index from program_id(2) (its grid
+    # is (batch, kv-chunk, s-block)); the paged grid folds all KV heads
+    # into every program, so the chunk axis is a dummy of size 1 and the
+    # logical page index rides axis 2.
+    def cache_map(b, c, j, pos_ref, pt_ref, layer_ref):
         return (layer_ref[0], pt_ref[b, j], 0, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, KV, G, D), lambda b, j, p, t, l: (b, 0, 0, 0),
+        pl.BlockSpec((1, KV, G, D), lambda b, c, j, p, t, l: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, KV, PS, D), cache_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, KV, PS, D), cache_map, memory_space=pltpu.VMEM),
@@ -162,12 +166,12 @@ def paged_flash_decode_pallas(q, pool_k, pool_v, page_table, pos, layer,
     if has_slopes:
         slopes2 = jnp.asarray(alibi_slopes, jnp.float32).reshape(rows, 1)
         in_specs.append(pl.BlockSpec(
-            (rows, 1), lambda b, j, p, t, l: (0, 0),
+            (rows, 1), lambda b, c, j, p, t, l: (0, 0),
             memory_space=pltpu.VMEM))
         args.append(slopes2)
     if has_scales:
         sspec = pl.BlockSpec((1, 1, KV, PS),
-                             lambda b, j, p, t, l: (l[0], t[b, j], 0, 0),
+                             lambda b, c, j, p, t, l: (l[0], t[b, j], 0, 0),
                              memory_space=pltpu.VMEM)
         in_specs += [sspec, sspec]
         args += [k_scale, v_scale]
@@ -180,16 +184,16 @@ def paged_flash_decode_pallas(q, pool_k, pool_v, page_table, pos, layer,
         vs = rest[i + 1] if has_scales else None
         i += 2 * int(has_scales)
         # _decode_kernel masks with col_s = j * PS + local vs pos[b]
-        # (program_id(1) is the logical page index).
+        # (program_id(2) is the logical page index).
         _decode_kernel(pr, lr, qr, kr, vr, slopes, ks, vs, *rest[i:],
                        scale=scale, kv=KV, groups=G, s_blk=PS)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, MAXP),
+        grid=(B, 1, MAXP),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, KV, G, D),
-                               lambda b, j, p, t, l: (b, 0, 0, 0),
+                               lambda b, c, j, p, t, l: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rows, D), jnp.float32),
