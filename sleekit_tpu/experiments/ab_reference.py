@@ -61,11 +61,14 @@ def import_reference(ref_path: str):
 # ---- synthetic layer dumps ------------------------------------------------
 
 
-def gen_layers(quick: bool = False):
+def gen_layers(quick: bool = False, variants: int = 1):
     """Deterministic synthetic layers spanning the regimes the reference
     tests exercise (SURVEY.md §4): well-conditioned, near-singular
     (samples < features), dead input columns, correlated inputs with a
-    mean offset (so bias correction matters)."""
+    mean offset (so bias correction matters). ``variants`` replicates
+    the 5-layer set with fresh draws (variant 0 is byte-identical to
+    ``variants=1`` — the rng stream is consumed in the same order — so
+    PARITY tables stay stable)."""
     import numpy as np
 
     rng = np.random.RandomState(1234)
@@ -79,15 +82,17 @@ def gen_layers(quick: bool = False):
     if quick:
         specs = specs[:2]
     layers = []
-    for name, m, n, s, offset, dead in specs:
-        W = rng.randn(m, n).astype(np.float32)
-        mix = (0.25 * rng.randn(n, n) + np.eye(n)).astype(np.float32)
-        X = rng.randn(s, n).astype(np.float32) @ mix + offset
-        if dead:
-            X[:, n // 3] = 0.0
-        H = (X.T @ X / s).astype(np.float32)
-        mean = X.mean(axis=0).astype(np.float32)
-        layers.append((name, W, H, mean))
+    for v in range(variants):
+        for name, m, n, s, offset, dead in specs:
+            W = rng.randn(m, n).astype(np.float32)
+            mix = (0.25 * rng.randn(n, n) + np.eye(n)).astype(np.float32)
+            X = rng.randn(s, n).astype(np.float32) @ mix + offset
+            if dead:
+                X[:, n // 3] = 0.0
+            H = (X.T @ X / s).astype(np.float32)
+            mean = X.mean(axis=0).astype(np.float32)
+            layers.append((name if v == 0 else f"{name}_v{v}",
+                           W, H, mean))
     return layers
 
 
