@@ -75,7 +75,8 @@ def main(argv=None):
         jax.block_until_ready(stats)
     with timer.section("quantize"):
         qparams, reports = quantize_model(cfg, params, stats, qconfig,
-                                          pack=args.pack, verbose=True)
+                                          pack=args.pack, verbose=True,
+                                          free_stats=True)
     with timer.section("save"):
         save_packed_params(args.out, qparams, meta={
             "model": args.model, "preset": args.preset,

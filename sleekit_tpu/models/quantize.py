@@ -103,6 +103,7 @@ def quantize_model(
     layer_parallel: bool = False,
     mesh=None,
     resume_dir: Optional[str] = None,
+    free_stats: bool = False,
 ) -> Tuple[Any, List[LayerReport]]:
     """Quantize every linear layer of the model.
 
@@ -116,6 +117,13 @@ def quantize_model(
     parallelism). ``resume_dir`` checkpoints each solved layer (atomic
     .npz) and skips already-solved layers on restart, so a 7B-class
     quantization survives preemption (SURVEY.md §5.4).
+
+    Each layer is solved, applied, and released before the next starts:
+    with ``free_stats`` the consumed entry is popped from the
+    CALLER's ``stats`` dict (the reference's ``Sleekit.free()`` analogue,
+    ref statistics.py:192-199) so its Hessian frees immediately. Holding
+    every Hessian + every dequantized solution on a 16 GB chip at once
+    RESOURCE_EXHAUSTs 1.3B-class models (measured, round-2 journal).
     """
     if resume_dir is not None:
         os.makedirs(resume_dir, exist_ok=True)
@@ -127,15 +135,28 @@ def quantize_model(
     cb = None if per_layer_cb else qconfig.make_codebook()
 
     names = layer_names(cfg)
-    solutions: Dict[str, tuple] = {}
-    walls: Dict[str, float] = {}
+    reports: Dict[str, LayerReport] = {}
+
+    def finish(name, out, wall):
+        Q, bias_delta, scale, err = out
+        p = get_linear_param(params, name)
+        cb_l = qconfig.make_codebook(p["kernel"].T) if per_layer_cb else cb
+        _apply_solution(params, name, p, cb_l, Q, bias_delta, scale,
+                        qconfig, pack)
+        if free_stats:
+            stats.pop(name, None)
+        reports[name] = LayerReport(name=name, error=float(jnp.sum(err)),
+                                    wall_s=wall)
+        if verbose:
+            print(f"  {name:24s} err={reports[name].error:12.5g} "
+                  f"{wall:6.2f}s", flush=True)
+
     pending = []
     for name in names:
         if resume_dir is not None:
             got = _load_layer_artifact(resume_dir, name)
             if got is not None:
-                solutions[name] = got
-                walls[name] = 0.0
+                finish(name, got, 0.0)
                 continue
         pending.append(name)
 
@@ -150,10 +171,9 @@ def quantize_model(
                                       cb if explicit_cb else None, mesh)
             wall = (time.time() - t0) / len(group)
             for name, out in zip(group, outs):
-                solutions[name] = out
-                walls[name] = wall
                 if resume_dir is not None:
                     _save_layer_artifact(resume_dir, name, *out)
+                finish(name, out, wall)
         pending = []
 
     for name in pending:
@@ -161,30 +181,14 @@ def quantize_model(
         p = get_linear_param(params, name)
         st = stats[name]
         W = p["kernel"].T  # (out, in), the quantizer's layout
-        if per_layer_cb:
-            cb = qconfig.make_codebook(W)
-        out = quantize_layer(
-            W, st.hessian, st.mean, qconfig, cb if explicit_cb else None)
-        solutions[name] = out
-        walls[name] = time.time() - t0
+        cb_solve = (qconfig.make_codebook(W) if per_layer_cb
+                    else (cb if explicit_cb else None))
+        out = quantize_layer(W, st.hessian, st.mean, qconfig, cb_solve)
         if resume_dir is not None:
             _save_layer_artifact(resume_dir, name, *out)
+        finish(name, out, time.time() - t0)
 
-    reports: List[LayerReport] = []
-    for name in names:
-        Q, bias_delta, scale, err = solutions[name]
-        p = get_linear_param(params, name)
-        if per_layer_cb:
-            cb = qconfig.make_codebook(p["kernel"].T)
-        _apply_solution(params, name, p, cb, Q, bias_delta, scale, qconfig,
-                        pack)
-        report = LayerReport(name=name, error=float(jnp.sum(err)),
-                             wall_s=walls[name])
-        reports.append(report)
-        if verbose:
-            print(f"  {name:24s} err={report.error:12.5g} "
-                  f"{report.wall_s:6.2f}s")
-    return params, reports
+    return params, [reports[name] for name in names]
 
 
 def _solve_layer_batch(params, stats, group: List[str],
@@ -239,11 +243,24 @@ def pack_lm_head(cfg: TransformerConfig, params, nbits: int = 8):
         if "project_out" in params["embed"]:
             raise ValueError("pack_lm_head does not support project_out "
                              "models (OPT-350M); unembed stays dense")
-    W = jnp.asarray(W, jnp.float32)
-    cb = UniformCodebook(2 ** nbits, -1.0, 1.0)
-    scale = compute_non_saturating_scaling(W, cb)   # per vocab channel
-    Q = cb(W / scale[:, None]) * scale[:, None]
-    params["lm_head"] = pack_quantized(Q, scale, cb)
+    # Quantize + pack on the host CPU: the (V, E) round-trip peaks at
+    # several f32/int32 copies of the full vocab matrix (2.1 GB each for
+    # Llama3-8B) - on-device packing RESOURCE_EXHAUSTs a 16 GB chip that
+    # already holds the packed model. Only the packed result ships back.
+    target = None
+    if jax.default_backend() != "cpu":
+        target = (W.devices().pop() if getattr(W, "devices", None)
+                  else jax.devices()[0])
+        W = jax.device_get(W)
+    with jax.default_device(jax.devices("cpu")[0]):
+        W = jnp.asarray(W, jnp.float32)
+        cb = UniformCodebook(2 ** nbits, -1.0, 1.0)
+        scale = compute_non_saturating_scaling(W, cb)   # per vocab channel
+        Q = cb(W / scale[:, None]) * scale[:, None]
+        head = pack_quantized(Q, scale, cb)
+    if target is not None:
+        head = jax.device_put(head, target)
+    params["lm_head"] = head
     return params
 
 
