@@ -64,11 +64,16 @@ def main():
         import re
 
         import sleekit_tpu.ops.dequant_matmul as dq
-        mm = re.match(r"kb(\d+)s(\d)d(\d)", tune)
+        mm = re.match(r"kb(\d+)s(\d)d(\d)(?:bn(\d+))?", tune)
         dq.PAIR_TUNE = {"kb": int(mm.group(1)),
                         "split": bool(int(mm.group(2))),
-                        "dim_sem": bool(int(mm.group(3)))}
+                        "dim_sem": bool(int(mm.group(3))),
+                        "bn": int(mm.group(4) or 0)}
         log(f"  PAIR_TUNE override: {dq.PAIR_TUNE}")
+    if os.environ.get("BENCH_GLUE", "1") == "0":
+        import sleekit_tpu.models.transformer as _tr
+        _tr.GLUE_FUSE = False
+        log("  GLUE_FUSE disabled (A/B)")
 
     from sleekit_tpu.codebooks import UniformCodebook
     from sleekit_tpu.models.eval import decode_scan

@@ -196,6 +196,48 @@ def _activation(cfg: TransformerConfig, x):
     raise ValueError(cfg.activation)
 
 
+# Serving-path decode-glue fusion (ops/dequant_matmul._pair_kernel): fold
+# the pre-norm / pre-activation / residual-add around each packed
+# projection into the kernel itself - at decode shapes those XLA
+# elementwise fusions are pure launch overhead (BENCH_NOTES.md round 2).
+# Toggle for full-bench A/B (BENCH_GLUE=0).
+GLUE_FUSE = True
+
+
+def _fused_proj(cfg, p, x, ln=None, act: Optional[str] = None,
+                residual=None):
+    """One-launch packed projection ``[residual +] proj(pre(x))``.
+
+    ``ln``: norm param dict applied as cfg.norm before the matmul;
+    ``act``: 'relu'/'gelu' applied before the matmul. Falls back to the
+    composed apply_norm/_activation/apply_linear path off the serving
+    configuration (dense params, CPU backend, prefill-size batches)."""
+    from sleekit_tpu.ops.dequant_matmul import (can_fuse_glue,
+                                                fused_quantized_matmul)
+
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    if (GLUE_FUSE and isinstance(p, PackedLinear) and x2.shape[0] <= 1024
+            and can_fuse_glue(x2, p)
+            and jax.default_backend() not in ("cpu",)):
+        r2 = (residual.reshape(-1, residual.shape[-1])
+              if residual is not None else None)
+        y2 = fused_quantized_matmul(
+            x2, p, pre=(cfg.norm if ln is not None else act),
+            ln_scale=None if ln is None else ln["scale"],
+            ln_bias=None if ln is None else ln.get("bias"),
+            eps=cfg.norm_eps, residual=r2)
+        return y2.reshape(*shape[:-1], y2.shape[-1])
+    if ln is not None:
+        x = apply_norm(cfg, ln, x)
+    if act is not None:
+        x = _activation(cfg, x)
+    y = apply_linear(p, x)
+    if residual is not None:
+        y = y + residual
+    return y
+
+
 def alibi_slopes(n_heads: int) -> np.ndarray:
     """BLOOM ALiBi head slopes (public formula from the ALiBi paper)."""
     def pow2_slopes(n):
@@ -341,15 +383,17 @@ def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
 
     b, t, d = x.shape
     kv_dim = cfg.kv_heads * cfg.head_dim
-    h_attn_in = apply_norm(cfg, layer["ln1"], x) if cfg.pre_norm else x
     if "qkv" in layer["attn"]:
         # Serving-time fused projection (fuse_qkv_params): one matmul,
-        # one HBM weight stream instead of three.
-        qkv = apply_linear(layer["attn"]["qkv"], h_attn_in)
+        # one HBM weight stream instead of three - with the pre-norm
+        # folded into the kernel (decode-glue fusion).
+        qkv = _fused_proj(cfg, layer["attn"]["qkv"], x,
+                          ln=layer["ln1"] if cfg.pre_norm else None)
         q = qkv[..., :d]
         k = qkv[..., d:d + kv_dim]
         v = qkv[..., d + kv_dim:]
     else:
+        h_attn_in = apply_norm(cfg, layer["ln1"], x) if cfg.pre_norm else x
         q = lin("q", layer["attn"]["q"], h_attn_in)
         k = lin("k", layer["attn"]["k"], h_attn_in)
         v = lin("v", layer["attn"]["v"], h_attn_in)
@@ -436,26 +480,34 @@ def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
         kv_write = new_entry
 
     attn = attn.reshape(b, t, d)
-    attn = lin("o", layer["attn"]["o"], attn)
-    x = x + attn
+    if stats is None:
+        x = _fused_proj(cfg, layer["attn"]["o"], attn, residual=x)
+    else:
+        x = x + lin("o", layer["attn"]["o"], attn)
     if not cfg.pre_norm:
         x = apply_norm(cfg, layer["ln1"], x)
 
-    h = apply_norm(cfg, layer["ln2"], x) if cfg.pre_norm else x
+    ln2 = layer["ln2"] if cfg.pre_norm else None
     if cfg.activation == "silu_glu":
         if "gate_up" in layer["mlp"]:
-            gu = apply_linear(layer["mlp"]["gate_up"], h)
-            gate, up = gu[..., :cfg.d_ff], gu[..., cfg.d_ff:]
+            gu = _fused_proj(cfg, layer["mlp"]["gate_up"], x, ln=ln2)
+            h = jax.nn.silu(gu[..., :cfg.d_ff]) * gu[..., cfg.d_ff:]
+            x = _fused_proj(cfg, layer["mlp"]["down"], h, residual=x)
         else:
+            h = apply_norm(cfg, layer["ln2"], x) if cfg.pre_norm else x
             gate = lin("gate", layer["mlp"]["gate"], h)
             up = lin("up", layer["mlp"]["up"], h)
-        h = jax.nn.silu(gate) * up
-        h = lin("down", layer["mlp"]["down"], h)
+            h = jax.nn.silu(gate) * up
+            x = x + lin("down", layer["mlp"]["down"], h)
+    elif stats is None:
+        h = _fused_proj(cfg, layer["mlp"]["fc1"], x, ln=ln2)
+        x = _fused_proj(cfg, layer["mlp"]["fc2"], h, act=cfg.activation,
+                        residual=x)
     else:
+        h = apply_norm(cfg, layer["ln2"], x) if cfg.pre_norm else x
         h = lin("fc1", layer["mlp"]["fc1"], h)
         h = _activation(cfg, h)
-        h = lin("fc2", layer["mlp"]["fc2"], h)
-    x = x + h
+        x = x + lin("fc2", layer["mlp"]["fc2"], h)
     if not cfg.pre_norm:
         x = apply_norm(cfg, layer["ln2"], x)
     return x, kv_write, stats
@@ -623,23 +675,61 @@ def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
     return layers
 
 
+def _split_stacked_packed(layers_tree):
+    """Pull the big (L, kw, N) packed-word tensors OUT of a stacked layer
+    pytree so ``lax.scan`` never slices them: scanning them as xs copies
+    the entire packed model HBM->HBM every decode step (measured 0.9
+    ms/step on OPT-1.3B). The kernels instead address the layer block
+    in place via ``PackedLinear.layer_sel`` (scalar prefetch), exactly
+    like the (L, ...) KV cache. Returns (big tensors, scannable rest)."""
+    bigs = []
+    is_pl = lambda v: isinstance(v, PackedLinear)  # noqa: E731
+
+    def strip(p):
+        if is_pl(p) and p.packed.ndim == 3:
+            bigs.append(p.packed)
+            ph = jnp.zeros((p.packed.shape[0], 1, 1), p.packed.dtype)
+            return dataclasses.replace(p, packed=ph)
+        return p
+
+    rest = jax.tree_util.tree_map(strip, layers_tree, is_leaf=is_pl)
+    return bigs, rest
+
+
+def _merge_stacked_packed(bigs, layer_rest, lidx):
+    """Rebuild one scan iteration's layer params: re-attach each full
+    stacked packed tensor with ``layer_sel=lidx`` (zero-copy kernel-side
+    layer addressing)."""
+    it = iter(bigs)
+    is_pl = lambda v: isinstance(v, PackedLinear)  # noqa: E731
+
+    def put(p):
+        if is_pl(p) and p.packed.shape[-2:] == (1, 1):
+            return dataclasses.replace(p, packed=next(it), layer_sel=lidx)
+        return p
+
+    return jax.tree_util.tree_map(put, layer_rest, is_leaf=is_pl)
+
+
 def _run_layers_decode(cfg, params, x, positions, cache, pos):
     """Single-token decode through all blocks. The FULL stacked cache is
     the scan carry (updated in place by the Pallas append kernel); per-row
     positions handle ragged continuous batching."""
     pos_vec = jnp.broadcast_to(jnp.asarray(pos), (x.shape[0],))
     if cfg.scan_layers:
+        bigs, rest = _split_stacked_packed(params["layers"])
 
         def body(carry, inp):
             x, entry = carry
-            layer, lidx = inp
+            layer_rest, lidx = inp
+            layer = _merge_stacked_packed(bigs, layer_rest, lidx)
             x, entry, _ = _block(cfg, layer, x, positions,
                                  ("decode", entry, pos_vec, lidx), None, 0)
             return (x, entry), None
 
         (x, entry), _ = jax.lax.scan(
             body, (x, dict(cache)),
-            (params["layers"], jnp.arange(cfg.n_layers)))
+            (rest, jnp.arange(cfg.n_layers)))
         return x, entry
     if isinstance(cache, dict):
         # Paged (or otherwise stacked) cache with an unrolled layer loop:

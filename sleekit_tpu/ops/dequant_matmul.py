@@ -47,7 +47,11 @@ def dequant_matmul_xla(x: jnp.ndarray, w: PackedLinear) -> jnp.ndarray:
     assert w.k_splits == 1, (
         "split_packed_k matrices are a TP sharding format; localize the "
         "shard (ops/pack.localize_packed_shard) before the matmul")
-    idx = unpack_indices(w.packed, w.nbits, w.in_features, layout=w.layout)
+    packed = w.packed
+    if w.layer_sel is not None:
+        packed = lax.dynamic_index_in_dim(packed, w.layer_sel, axis=0,
+                                          keepdims=False)
+    idx = unpack_indices(packed, w.nbits, w.in_features, layout=w.layout)
     deq = jnp.take(w.lut, idx) * w.scale[None, :]
     y = jnp.dot(x.astype(jnp.float32), deq, preferred_element_type=jnp.float32)
     if w.bias is not None:
@@ -124,8 +128,9 @@ def _mantissa_kernel(x_ref, w_ref, o_ref, *, nbits, vpw, compute_dtype):
                         preferred_element_type=jnp.float32)
 
 
-def _pair_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref, xs_ref,
-                 *, nbits, hp, pg, a_aff, b_aff, kb=1, split=False):
+def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
+                 pre=None, eps=1e-5, k_valid=0, has_ln_b=False,
+                 use_res=False, stacked=False):
     """Mantissa dequant over the bf16-PAIR layout: 2 values per VPU op.
 
     Each int32 word holds ``2*hp`` indices - ``hp`` bit planes in each
@@ -147,7 +152,33 @@ def _pair_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref, xs_ref,
     grid steps). ``split``: one MXU dot per bit plane (K=2*pg each)
     instead of concatenating planes into one K=2*pg*hp dot - trades a VMEM
     concat copy for more, shallower MXU passes.
+
+    Decode-glue fusion (round 2): the per-layer XLA elementwise chain
+    around each matmul (layernorm -> proj, activation -> proj, proj ->
+    residual add) is pure launch overhead at decode shapes (x is (8, K)),
+    so the kernel optionally absorbs it:
+      * ``pre``: 'layernorm'/'rmsnorm' (requires the FULL K row in one
+        grid step; masked to ``k_valid`` so K padding stays exact) or
+        'relu'/'gelu' applied to the x block before the dot;
+      * ``use_res``: a residual (M, BN) input added in the epilogue.
+    One Pallas launch then replaces up to 3 XLA fusions per projection.
     """
+    if stacked:
+        refs = refs[1:]  # scalar-prefetch layer index consumed by index maps
+    x_ref, w_ref, scale_ref, bias_ref = refs[:4]
+    i = 4
+    ln_s_ref = ln_b_ref = res_ref = None
+    if pre in ("layernorm", "rmsnorm"):
+        ln_s_ref = refs[i]
+        i += 1
+        if has_ln_b:
+            ln_b_ref = refs[i]
+            i += 1
+    if use_res:
+        res_ref = refs[i]
+        i += 1
+    o_ref, acc_ref, xs_ref = refs[i:i + 3]
+
     k_step = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -156,14 +187,42 @@ def _pair_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref, xs_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         xs_ref[:] = jnp.zeros_like(xs_ref)
 
-    words_all = w_ref[:]  # (kb*pair_group, BN) int32, pair layout
+    # (kb*pair_group, BN) int32, pair layout; stacked mode addresses the
+    # (L, kw, N) tensor's layer block zero-copy (leading dim 1).
+    words_all = w_ref[0] if stacked else w_ref[:]
     mlow = ((1 << nbits) - 1) << (7 - nbits)
     mask = jnp.int32(mlow | (mlow << 16))
     one = jnp.int32(0x3F803F80)
     bk = 2 * pg * hp
-    x = x_ref[:].astype(jnp.bfloat16)
+    if pre in ("layernorm", "rmsnorm"):
+        x32 = x_ref[:].astype(jnp.float32)
+        kp = x32.shape[1]
+        col_ok = None
+        if k_valid < kp:
+            col_ok = (lax.broadcasted_iota(jnp.int32, x32.shape, 1)
+                      < k_valid)
+        if pre == "layernorm":
+            mu = jnp.sum(x32, axis=1, keepdims=True) / k_valid
+            xc = x32 - mu
+            if col_ok is not None:
+                xc = jnp.where(col_ok, xc, 0.0)
+        else:
+            xc = x32  # K padding is zero, so the sum is already exact
+        var = jnp.sum(xc * xc, axis=1, keepdims=True) / k_valid
+        xn = xc * lax.rsqrt(var + eps) * ln_s_ref[0, :][None, :]
+        if ln_b_ref is not None:
+            xn = xn + ln_b_ref[0, :][None, :]
+            if col_ok is not None:
+                xn = jnp.where(col_ok, xn, 0.0)
+        x = xn.astype(jnp.bfloat16)
+    elif pre == "relu":
+        x = jnp.maximum(x_ref[:], 0).astype(jnp.bfloat16)
+    elif pre == "gelu":
+        x = jax.nn.gelu(x_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+    else:
+        x = x_ref[:].astype(jnp.bfloat16)
     if b_aff != 0.0:
-        xs_ref[:, :1] += jnp.sum(x_ref[:].astype(jnp.float32), axis=1,
+        xs_ref[:, :1] += jnp.sum(x.astype(jnp.float32), axis=1,
                                  keepdims=True)
     for t in range(kb):
         words = words_all[t * pg:(t + 1) * pg]
@@ -192,6 +251,8 @@ def _pair_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref, xs_ref,
         if b_aff != 0.0:
             out = out + b_aff * xs_ref[:, :1]
         out = out * scale_ref[0, :][None, :] + bias_ref[0, :][None, :]
+        if use_res:
+            out = out + res_ref[:].astype(jnp.float32)
         o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -201,13 +262,16 @@ def _round_up(x: int, m: int) -> int:
 
 # Serving-default tuning of the pair kernel. kb=0 means auto (~256 word
 # rows per grid step); split = one MXU dot per bit plane (no VMEM
-# concat); dim_sem = PARALLEL/ARBITRARY grid semantics. NOTE (round-2
-# journal): isolated kernel_bench sweeps said split+dim_sem win 15-25%
-# per shape, but the FULL fused decode regressed 3.06 -> 3.52 ms/step
-# with them - microbenchmark wins do not transfer across back-to-back
-# kernel launches here. Tuning decisions are taken on the full bench
-# (BENCH_PAIR_TUNE=kb<K>s<0|1>d<0|1> env A/B in bench.py).
-PAIR_TUNE = {"kb": 0, "split": False, "dim_sem": False}
+# concat); dim_sem = PARALLEL/ARBITRARY grid semantics; bn=0 keeps the
+# caller's block_n (1024), bn>0 overrides it (bn >= N gives one fully
+# contiguous weight row block per K step - best HBM access pattern for
+# decode where the x/out tiles are tiny). NOTE (round-2 journal):
+# isolated kernel_bench sweeps said split+dim_sem win 15-25% per shape,
+# but the FULL fused decode regressed 3.06 -> 3.52 ms/step with them -
+# microbenchmark wins do not transfer across back-to-back kernel
+# launches here. Tuning decisions are taken on the full bench
+# (BENCH_PAIR_TUNE=kb<K>s<0|1>d<0|1>[bn<N>] env A/B in bench.py).
+PAIR_TUNE = {"kb": 0, "split": False, "dim_sem": False, "bn": 0}
 
 
 def _pair_kb(nbits: int, kb: int) -> int:
@@ -216,14 +280,22 @@ def _pair_kb(nbits: int, kb: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "nbits", "affine_a", "affine_b", "block_n", "interpret",
-    "kb", "split", "dim_sem"))
-def _pallas_pair_impl(x, packed, scale, bias, *, nbits, affine_a, affine_b,
-                      block_n, interpret, kb=1, split=False, dim_sem=False):
+    "kb", "split", "dim_sem", "bn", "pre", "eps"))
+def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
+                      residual=None, layer=None, *, nbits, affine_a,
+                      affine_b, block_n, interpret, kb=1, split=False,
+                      dim_sem=False, bn=0, pre=None, eps=1e-5):
+    if bn > 0:
+        block_n = bn
     m, k = x.shape
-    kw, n = packed.shape
+    stacked = packed.ndim == 3
+    kw, n = packed.shape[-2:]
     hp, pg = pair_planes(nbits), pair_group(nbits)
     kb = _pair_kb(nbits, kb)
     bk = 2 * pg * hp
+    if pre in ("layernorm", "rmsnorm"):
+        # Normalization needs the FULL K row in one grid step.
+        kb = -(-kw // pg)
 
     bn = min(block_n, _round_up(n, 128))
     m_pad = _round_up(max(m, 8), 8)
@@ -231,12 +303,20 @@ def _pallas_pair_impl(x, packed, scale, bias, *, nbits, affine_a, affine_b,
     k_pad = (kw_pad // pg) * bk
     n_pad = _round_up(n, bn)
 
+    if stacked and ((kw_pad, n_pad) != (kw, n) or layer is None):
+        # Runtime-padding a stacked tensor would copy EVERY layer per
+        # call; slice this layer out (one-layer copy) and go unstacked.
+        packed = lax.dynamic_index_in_dim(
+            packed, jnp.asarray(layer if layer is not None else 0,
+                                jnp.int32), axis=0, keepdims=False)
+        stacked = False
+
     if (m_pad, k_pad) == (m, k):
         x_p = x
     else:
         x_p = jnp.zeros((m_pad, k_pad), x.dtype)
         x_p = lax.dynamic_update_slice(x_p, x, (0, 0))
-    packed_p = (packed if (kw_pad, n_pad) == (kw, n)
+    packed_p = (packed if stacked or (kw_pad, n_pad) == (kw, n)
                 else jnp.pad(packed, ((0, kw_pad - kw), (0, n_pad - n))))
     scale_p = jnp.pad(scale, (0, n_pad - n)).reshape(1, n_pad)
     if bias is None:
@@ -247,35 +327,76 @@ def _pallas_pair_impl(x, packed, scale, bias, *, nbits, affine_a, affine_b,
     grid = (n_pad // bn, kw_pad // (kb * pg))
     kernel = functools.partial(_pair_kernel, nbits=nbits, hp=hp, pg=pg,
                                a_aff=affine_a, b_aff=affine_b,
-                               kb=kb, split=split)
+                               kb=kb, split=split, pre=pre, eps=eps,
+                               k_valid=k, has_ln_b=ln_bias is not None,
+                               use_res=residual is not None,
+                               stacked=stacked)
+
+    # With scalar prefetch (stacked mode) every index map takes the layer
+    # scalar ref as a trailing arg; the weight map addresses the (L, kw,
+    # N) tensor's layer block zero-copy, exactly like the KV-cache kernels
+    # (ops/attention.py).
+    def imap(fn):
+        return (lambda i, j, L: fn(i, j)) if stacked else fn
+
+    in_specs = [
+        pl.BlockSpec((m_pad, kb * bk), imap(lambda i, j: (0, j)),
+                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((1, kb * pg, bn), lambda i, j, L: (L[0], j, i),
+                      memory_space=pltpu.VMEM) if stacked else
+         pl.BlockSpec((kb * pg, bn), lambda i, j: (j, i),
+                      memory_space=pltpu.VMEM)),
+        pl.BlockSpec((1, bn), imap(lambda i, j: (0, i)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), imap(lambda i, j: (0, i)),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x_p, packed_p, scale_p, bias_p]
+    if pre in ("layernorm", "rmsnorm"):
+        assert ln_scale is not None
+        for v in (ln_scale, ln_bias):
+            if v is None:
+                continue
+            in_specs.append(pl.BlockSpec((1, k_pad),
+                                         imap(lambda i, j: (0, 0)),
+                                         memory_space=pltpu.VMEM))
+            operands.append(jnp.pad(v.astype(jnp.float32),
+                                    (0, k_pad - k)).reshape(1, k_pad))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((m_pad, bn), imap(lambda i, j: (0, i)),
+                                     memory_space=pltpu.VMEM))
+        if (m_pad, n_pad) == residual.shape:
+            res_p = residual
+        else:
+            res_p = jnp.zeros((m_pad, n_pad), residual.dtype)
+            res_p = lax.dynamic_update_slice(res_p, residual, (0, 0))
+        operands.append(res_p)
     kwargs = {}
     if dim_sem and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,
                                  pltpu.GridDimensionSemantics.ARBITRARY))
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((m_pad, kb * bk), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kb * pg, bn), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((m_pad, bn), lambda i, j: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((m_pad, bn), jnp.float32),   # f32 accumulator
-            pltpu.VMEM((m_pad, 128), jnp.float32),  # rowsum(x) carry
-        ],
-        interpret=interpret,
-        **kwargs,
-    )(x_p, packed_p, scale_p, bias_p)
+    out_spec = pl.BlockSpec((m_pad, bn), imap(lambda i, j: (0, i)),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype)
+    scratch = [
+        pltpu.VMEM((m_pad, bn), jnp.float32),   # f32 accumulator
+        pltpu.VMEM((m_pad, 128), jnp.float32),  # rowsum(x) carry
+    ]
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_spec, scratch_shapes=scratch)
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret, **kwargs,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
+    else:
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_spec,
+            out_shape=out_shape, scratch_shapes=scratch,
+            interpret=interpret, **kwargs,
+        )(*operands)
     return out[:m, :n]
 
 
@@ -380,9 +501,11 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
             step, zero = w.affine
             a = step * float(2 ** w.nbits)
             return _pallas_pair_impl(
-                x, w.packed, w.scale, w.bias, nbits=w.nbits,
-                affine_a=a, affine_b=zero - a,
+                x, w.packed, w.scale, w.bias, layer=w.layer_sel,
+                nbits=w.nbits, affine_a=a, affine_b=zero - a,
                 block_n=block_n, interpret=interpret, **PAIR_TUNE)
+        return dequant_matmul_xla(x, w)
+    if w.layer_sel is not None:
         return dequant_matmul_xla(x, w)
     if w.layout != "plane":
         # Linear-layout weights fall back to the XLA oracle; repack with
@@ -406,3 +529,55 @@ def quantized_matmul(x: jnp.ndarray, w: PackedLinear,
     if use_pallas:
         return dequant_matmul_pallas(x, w)
     return dequant_matmul_xla(x, w)
+
+
+def can_fuse_glue(x: jnp.ndarray, w: PackedLinear) -> bool:
+    """Whether the decode-glue fusion (pre-norm / pre-activation /
+    residual inside the pair kernel) applies to this matmul."""
+    return (w.layout == "pair" and w.affine is not None and w.nbits <= 7
+            and x.dtype == jnp.bfloat16 and w.k_splits == 1)
+
+
+def fused_quantized_matmul(x: jnp.ndarray, w: PackedLinear, *,
+                           pre: Optional[str] = None,
+                           ln_scale: Optional[jnp.ndarray] = None,
+                           ln_bias: Optional[jnp.ndarray] = None,
+                           eps: float = 1e-5,
+                           residual: Optional[jnp.ndarray] = None,
+                           use_pallas: Optional[bool] = None,
+                           interpret: bool = False) -> jnp.ndarray:
+    """``y = [residual +] pre(x) @ deq(w) + bias`` in ONE kernel launch.
+
+    ``pre``: None | 'layernorm' | 'rmsnorm' (with ``ln_scale``/``ln_bias``)
+    | 'relu' | 'gelu'. On the serving path (pair layout, bf16, TPU) the
+    whole expression runs inside the pair kernel; otherwise it composes
+    the same math in XLA (identical semantics, the correctness oracle).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if (use_pallas or interpret) and can_fuse_glue(x, w):
+        step, zero = w.affine
+        a = step * float(2 ** w.nbits)
+        return _pallas_pair_impl(
+            x, w.packed, w.scale, w.bias, ln_scale, ln_bias, residual,
+            w.layer_sel, nbits=w.nbits, affine_a=a, affine_b=zero - a,
+            block_n=1024, interpret=interpret, pre=pre, eps=eps,
+            **PAIR_TUNE)
+    h32 = x.astype(jnp.float32)
+    if pre == "layernorm":
+        mu = jnp.mean(h32, axis=-1, keepdims=True)
+        var = jnp.var(h32, axis=-1, keepdims=True)
+        h32 = (h32 - mu) * lax.rsqrt(var + eps) * ln_scale
+        if ln_bias is not None:
+            h32 = h32 + ln_bias
+    elif pre == "rmsnorm":
+        var = jnp.mean(jnp.square(h32), axis=-1, keepdims=True)
+        h32 = h32 * lax.rsqrt(var + eps) * ln_scale
+    elif pre == "relu":
+        h32 = jnp.maximum(h32, 0)
+    elif pre == "gelu":
+        h32 = jax.nn.gelu(h32)
+    y = quantized_matmul(h32.astype(x.dtype), w, use_pallas=use_pallas)
+    if residual is not None:
+        y = y + residual
+    return y

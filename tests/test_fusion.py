@@ -62,3 +62,87 @@ def test_packed_lm_head_matches_dense():
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.02
     assert (got.argmax(-1) == ref.argmax(-1)).mean() > 0.99
+
+
+@pytest.mark.parametrize("nbits", [3, 4])
+@pytest.mark.parametrize("pre,use_res", [
+    (None, True), ("layernorm", False), ("layernorm", True),
+    ("rmsnorm", False), ("relu", True), ("gelu", False)])
+def test_glue_fused_pair_kernel_matches_composed(nbits, pre, use_res):
+    """Decode-glue fusion (pre-norm / pre-activation / residual inside
+    the pair kernel) matches the composed XLA oracle, incl. K sizes that
+    pad the pair tile (masked layernorm)."""
+    from sleekit_tpu.ops.dequant_matmul import fused_quantized_matmul
+    from sleekit_tpu.ops.pack import affine_from_lut, pack_indices
+    from sleekit_tpu.ops.pack import PackedLinear
+
+    rng = np.random.RandomState(11 + nbits)
+    K, N, M = 512, 192, 4
+    lut = np.linspace(-1.0, 0.95, 2 ** nbits).astype(np.float32)
+    idx = jnp.asarray(rng.randint(0, 2 ** nbits, (K, N)), jnp.int32)
+    w = PackedLinear(
+        packed=pack_indices(idx, nbits, layout="pair"),
+        scale=jnp.asarray(rng.rand(N).astype(np.float32) + 0.5),
+        lut=jnp.asarray(lut),
+        bias=jnp.asarray(rng.randn(N).astype(np.float32)),
+        in_features=K, out_features=N, nbits=nbits,
+        affine=affine_from_lut(lut), layout="pair")
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32) * 2.0
+                    ).astype(jnp.bfloat16)
+    kw = dict(
+        ln_scale=(jnp.asarray(rng.rand(K).astype(np.float32) + 0.5)
+                  if pre in ("layernorm", "rmsnorm") else None),
+        ln_bias=(jnp.asarray(0.1 * rng.randn(K).astype(np.float32))
+                 if pre == "layernorm" else None),
+        residual=(jnp.asarray(rng.randn(M, N).astype(np.float32)
+                              ).astype(jnp.bfloat16) if use_res else None),
+        pre=pre)
+    oracle = np.asarray(
+        fused_quantized_matmul(x, w, use_pallas=False, **kw), np.float32)
+    got = np.asarray(
+        fused_quantized_matmul(x, w, interpret=True, **kw), np.float32)
+    err = np.abs(got - oracle).max() / (np.abs(oracle).max() + 1e-9)
+    assert err < 2e-2, (nbits, pre, use_res, err)
+
+
+def test_stacked_layer_sel_pair_kernel_matches_per_layer():
+    """Zero-copy scan decode: a (L, kw, N) stacked pair PackedLinear with
+    ``layer_sel`` addressed in-kernel (scalar prefetch) matches slicing
+    the layer out, for every layer - incl. the glue-fusion epilogue."""
+    import dataclasses as dc
+
+    from sleekit_tpu.ops.dequant_matmul import fused_quantized_matmul
+    from sleekit_tpu.ops.pack import (PackedLinear, affine_from_lut,
+                                      pack_indices)
+
+    rng = np.random.RandomState(3)
+    L, K, N, M = 3, 256, 128, 4
+    nbits = 4
+    lut = np.linspace(-1.0, 0.9, 2 ** nbits).astype(np.float32)
+    packed = jnp.stack([
+        pack_indices(jnp.asarray(rng.randint(0, 2 ** nbits, (K, N)),
+                                 jnp.int32), nbits, layout="pair")
+        for _ in range(L)])
+    scales = jnp.asarray(rng.rand(L, N).astype(np.float32) + 0.5)
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32)).astype(jnp.bfloat16)
+    res = jnp.asarray(rng.randn(M, N).astype(np.float32)).astype(jnp.bfloat16)
+    ln_s = jnp.asarray(rng.rand(K).astype(np.float32) + 0.5)
+    for li in range(L):
+        base = PackedLinear(
+            packed=packed, scale=scales[li], lut=jnp.asarray(lut),
+            bias=None, in_features=K, out_features=N, nbits=nbits,
+            affine=affine_from_lut(lut), layout="pair",
+            layer_sel=jnp.int32(li))
+        sliced = dc.replace(base, packed=packed[li], layer_sel=None)
+        got = np.asarray(fused_quantized_matmul(
+            x, base, pre="layernorm", ln_scale=ln_s, residual=res,
+            interpret=True), np.float32)
+        want = np.asarray(fused_quantized_matmul(
+            x, sliced, pre="layernorm", ln_scale=ln_s, residual=res,
+            interpret=True), np.float32)
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+        oracle = np.asarray(fused_quantized_matmul(
+            x, sliced, pre="layernorm", ln_scale=ln_s, residual=res,
+            use_pallas=False), np.float32)
+        err = np.abs(got - oracle).max() / (np.abs(oracle).max() + 1e-9)
+        assert err < 2e-2, (li, err)

@@ -183,8 +183,9 @@ def test_pair_kernel_matches_xla(nbits):
 
 
 @pytest.mark.parametrize("nbits", [3, 4])
-@pytest.mark.parametrize("kb,split", [(1, False), (4, True), (0, True)])
-def test_pair_kernel_tuning_variants_match_xla(nbits, kb, split):
+@pytest.mark.parametrize("kb,split,bn", [(1, False, 0), (4, True, 0),
+                                         (0, True, 0), (1, False, 256)])
+def test_pair_kernel_tuning_variants_match_xla(nbits, kb, split, bn):
     """Every tuned pair-kernel configuration (tiles/step, split dots)
     computes the same result - the serving PAIR_TUNE values are swept on
     hardware, so correctness must hold for the whole knob space, incl.
@@ -209,9 +210,9 @@ def test_pair_kernel_tuning_variants_match_xla(nbits, kb, split):
     got = np.asarray(_pallas_pair_impl(
         x, w.packed, w.scale, w.bias, nbits=nbits, affine_a=a,
         affine_b=zero - a, block_n=128, interpret=True,
-        kb=kb, split=split), np.float32)
+        kb=kb, split=split, bn=bn), np.float32)
     err = np.abs(got - oracle).max() / (np.abs(oracle).max() + 1e-9)
-    assert err < 2e-2, (nbits, kb, split, err)
+    assert err < 2e-2, (nbits, kb, split, bn, err)
 
 
 def test_pair_layout_fake_quant_forward_matches_plane():
