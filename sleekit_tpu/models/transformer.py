@@ -526,6 +526,12 @@ def _embed(cfg, params, tokens, positions):
 
 
 def _unembed(cfg, params, x):
+    if (cfg.final_ln and "lm_head" in params
+            and "project_out" not in params["embed"]):
+        # Packed serving head: the final norm rides the unembed kernel's
+        # prologue (decode-glue fusion; composed fallback otherwise).
+        return _fused_proj(cfg, params["lm_head"], x,
+                           ln=params["final_ln"]).astype(jnp.float32)
     if cfg.final_ln:
         x = apply_norm(cfg, params["final_ln"], x)
     if "project_out" in params["embed"]:

@@ -52,6 +52,7 @@ def dequant_matmul_xla(x: jnp.ndarray, w: PackedLinear) -> jnp.ndarray:
         packed = lax.dynamic_index_in_dim(packed, w.layer_sel, axis=0,
                                           keepdims=False)
     idx = unpack_indices(packed, w.nbits, w.in_features, layout=w.layout)
+    idx = idx[:, :w.out_features]  # int8 layout pads N at pack time
     deq = jnp.take(w.lut, idx) * w.scale[None, :]
     y = jnp.dot(x.astype(jnp.float32), deq, preferred_element_type=jnp.float32)
     if w.bias is not None:
@@ -130,7 +131,7 @@ def _mantissa_kernel(x_ref, w_ref, o_ref, *, nbits, vpw, compute_dtype):
 
 def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
                  pre=None, eps=1e-5, k_valid=0, has_ln_b=False,
-                 use_res=False, stacked=False):
+                 use_res=False, stacked=False, int8_mode=False):
     """Mantissa dequant over the bf16-PAIR layout: 2 values per VPU op.
 
     Each int32 word holds ``2*hp`` indices - ``hp`` bit planes in each
@@ -190,9 +191,10 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
     # (kb*pair_group, BN) int32, pair layout; stacked mode addresses the
     # (L, kw, N) tensor's layer block zero-copy (leading dim 1).
     words_all = w_ref[0] if stacked else w_ref[:]
-    mlow = ((1 << nbits) - 1) << (7 - nbits)
-    mask = jnp.int32(mlow | (mlow << 16))
-    one = jnp.int32(0x3F803F80)
+    if not int8_mode:
+        mlow = ((1 << nbits) - 1) << (7 - nbits)
+        mask = jnp.int32(mlow | (mlow << 16))
+        one = jnp.int32(0x3F803F80)
     bk = 2 * pg * hp
     if pre in ("layernorm", "rmsnorm"):
         x32 = x_ref[:].astype(jnp.float32)
@@ -224,7 +226,12 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
     if b_aff != 0.0:
         xs_ref[:, :1] += jnp.sum(x.astype(jnp.float32), axis=1,
                                  keepdims=True)
-    for t in range(kb):
+    if int8_mode:
+        # 8-bit layout: rows ARE K rows stored as signed int8 (idx-128);
+        # one native convert + one MXU dot, zero shift/mask work.
+        acc_ref[:] += jnp.dot(x, words_all.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+    for t in range(kb if not int8_mode else 0):
         words = words_all[t * pg:(t + 1) * pg]
         planes = []
         for j in range(hp):
@@ -401,6 +408,96 @@ def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "affine_a", "affine_b", "block_n", "interpret", "pre", "eps", "out_n"))
+def _pallas_int8_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
+                      residual=None, *, affine_a, affine_b, block_n,
+                      interpret, pre=None, eps=1e-5, out_n=0):
+    """8-bit layout: packed is a pre-padded (K_pad, N_pad) SIGNED int8
+    matrix (ops/pack.py layout='int8'); the kernel is one int8->bf16
+    convert + MXU dot per block with the same fused affine/scale/bias
+    (+ optional pre-norm/activation/residual) epilogue as the pair
+    kernel. No runtime padding of the weight ever happens."""
+    m, k = x.shape
+    kw, n = packed.shape
+    out_n = out_n or n
+    bn = min(block_n, n)
+    assert n % bn == 0, (n, bn)
+    if pre in ("layernorm", "rmsnorm"):
+        kb8 = kw  # normalization needs the full K row in one grid step
+    else:
+        kb8 = min(kw, 512)
+        while kw % kb8:
+            kb8 -= 32
+    m_pad = _round_up(max(m, 8), 8)
+
+    if (m_pad, kw) == (m, k):
+        x_p = x
+    else:
+        x_p = jnp.zeros((m_pad, kw), x.dtype)
+        x_p = lax.dynamic_update_slice(x_p, x, (0, 0))
+    scale_p = jnp.pad(scale, (0, n - out_n)).reshape(1, n)
+    if bias is None:
+        bias = jnp.zeros((out_n,), jnp.float32)
+    bias_p = jnp.pad(bias.astype(jnp.float32),
+                     (0, n - out_n)).reshape(1, n)
+
+    grid = (n // bn, kw // kb8)
+    kernel = functools.partial(_pair_kernel, nbits=8, hp=0, pg=0,
+                               a_aff=affine_a, b_aff=affine_b,
+                               pre=pre, eps=eps, k_valid=k,
+                               has_ln_b=ln_bias is not None,
+                               use_res=residual is not None,
+                               int8_mode=True)
+    in_specs = [
+        pl.BlockSpec((m_pad, kb8), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kb8, bn), lambda i, j: (j, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x_p, packed, scale_p, bias_p]
+    if pre in ("layernorm", "rmsnorm"):
+        assert ln_scale is not None
+        for v in (ln_scale, ln_bias):
+            if v is None:
+                continue
+            in_specs.append(pl.BlockSpec((1, kw), lambda i, j: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(jnp.pad(v.astype(jnp.float32),
+                                    (0, kw - k)).reshape(1, kw))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((m_pad, bn), lambda i, j: (0, i),
+                                     memory_space=pltpu.VMEM))
+        res_p = jnp.zeros((m_pad, n), residual.dtype)
+        res_p = lax.dynamic_update_slice(res_p, residual, (0, 0))
+        operands.append(res_p)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m_pad, bn), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m_pad, bn), jnp.float32),
+            pltpu.VMEM((m_pad, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return out[:m, :out_n]
+
+
+def _int8_affine(w: PackedLinear):
+    """(a, b) of the signed-int8 fold: deq = (a*v + b) * scale with
+    v = idx - 128 stored in the int8 matrix."""
+    step, zero = w.affine
+    return step, zero + 128.0 * step
+
+
+@functools.partial(jax.jit, static_argnames=(
     "nbits", "vpw", "in_features", "affine", "block_n", "interpret"))
 def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
                  affine, block_n, interpret):
@@ -505,6 +602,15 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
                 nbits=w.nbits, affine_a=a, affine_b=zero - a,
                 block_n=block_n, interpret=interpret, **PAIR_TUNE)
         return dequant_matmul_xla(x, w)
+    if w.layout == "int8":
+        if (w.affine is not None and x.dtype == jnp.bfloat16
+                and w.layer_sel is None):
+            a, b = _int8_affine(w)
+            return _pallas_int8_impl(
+                x, w.packed, w.scale, w.bias, affine_a=a, affine_b=b,
+                block_n=block_n, interpret=interpret,
+                out_n=w.out_features)
+        return dequant_matmul_xla(x, w)
     if w.layer_sel is not None:
         return dequant_matmul_xla(x, w)
     if w.layout != "plane":
@@ -533,8 +639,11 @@ def quantized_matmul(x: jnp.ndarray, w: PackedLinear,
 
 def can_fuse_glue(x: jnp.ndarray, w: PackedLinear) -> bool:
     """Whether the decode-glue fusion (pre-norm / pre-activation /
-    residual inside the pair kernel) applies to this matmul."""
-    return (w.layout == "pair" and w.affine is not None and w.nbits <= 7
+    residual inside the kernel) applies to this matmul."""
+    ok_pair = w.layout == "pair" and w.nbits <= 7
+    ok_int8 = (w.layout == "int8" and w.nbits == 8
+               and w.layer_sel is None)
+    return ((ok_pair or ok_int8) and w.affine is not None
             and x.dtype == jnp.bfloat16 and w.k_splits == 1)
 
 
@@ -556,6 +665,12 @@ def fused_quantized_matmul(x: jnp.ndarray, w: PackedLinear, *,
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if (use_pallas or interpret) and can_fuse_glue(x, w):
+        if w.layout == "int8":
+            a, b = _int8_affine(w)
+            return _pallas_int8_impl(
+                x, w.packed, w.scale, w.bias, ln_scale, ln_bias, residual,
+                affine_a=a, affine_b=b, block_n=1024, interpret=interpret,
+                pre=pre, eps=eps, out_n=w.out_features)
         step, zero = w.affine
         a = step * float(2 ** w.nbits)
         return _pallas_pair_impl(

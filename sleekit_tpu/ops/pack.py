@@ -69,7 +69,7 @@ PLANE_GROUP = 32
 # Word-row group size of the pair layout (below).
 PAIR_GROUP = 32
 
-LAYOUTS = ("linear", "plane", "pair")
+LAYOUTS = ("linear", "plane", "pair", "int8")
 
 
 def pair_planes(nbits: int) -> int:
@@ -109,6 +109,20 @@ def pack_indices(idx: jnp.ndarray, nbits: int,
     assert idx.ndim == 2
     assert layout in LAYOUTS
     k, n = idx.shape
+    if layout == "int8":
+        # 8-bit fast path: no sub-byte packing at all - indices are
+        # stored as SIGNED int8 (idx - 128) so the kernel is one native
+        # int8->bf16 convert + MXU dot (no shift/mask VPU work). K pads
+        # to the sublane tile (32), N to the kernel's default block
+        # (1024) AT PACK TIME, so the hot path never pads at runtime
+        # (a runtime pad copied the whole (E, V) unembed every decode
+        # step - 0.14 ms on OPT-1.3B, round-2 journal). Padding index
+        # is 128 -> stored 0 -> contributes nothing to x @ V.
+        k_pad = -(-k // 32) * 32
+        n_pad = -(-n // 1024) * 1024
+        idx = jnp.pad(idx, ((0, k_pad - k), (0, n_pad - n)),
+                      constant_values=128)
+        return (idx - 128).astype(jnp.int8)
     if layout == "pair":
         hp, pg = pair_planes(nbits), pair_group(nbits)
         bk = 2 * pg * hp
@@ -145,6 +159,8 @@ def unpack_indices(packed: jnp.ndarray, nbits: int, k: int,
     assert packed.ndim == 2
     assert layout in LAYOUTS
     kw, n = packed.shape
+    if layout == "int8":
+        return packed[:k].astype(jnp.int32) + 128
     mask = jnp.int32((1 << nbits) - 1)
     if layout == "pair":
         hp, pg = pair_planes(nbits), pair_group(nbits)
@@ -231,11 +247,12 @@ class PackedLinear:
         else:
             idx = unpack_indices(self.packed, self.nbits, self.in_features,
                                  layout=self.layout)
+        idx = idx[:, :self.out_features]  # int8 layout pads N at pack time
         return jnp.take(self.lut, idx) * self.scale[None, :]
 
     def memory_bytes(self) -> int:
-        return int(self.packed.size * 4 + self.scale.size * 4
-                   + self.lut.size * 4
+        return int(self.packed.size * self.packed.dtype.itemsize
+                   + self.scale.size * 4 + self.lut.size * 4
                    + (0 if self.bias is None else self.bias.size * 4))
 
 
@@ -331,8 +348,9 @@ def pack_quantized(
     lut = jnp.asarray(codebook.values, jnp.float32)
     nbits = bits_for_codebook(int(lut.shape[0]))
     if layout == "auto":
-        layout = ("pair" if affine_from_lut(lut) is not None and nbits <= 7
-                  else "plane")
+        aff = affine_from_lut(lut) is not None
+        layout = ("pair" if aff and nbits <= 7
+                  else "int8" if aff and nbits == 8 else "plane")
     packed = pack_indices(idx.T, nbits, layout=layout)  # serving layout (K, N)
     return PackedLinear(
         packed=packed,

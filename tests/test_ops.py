@@ -229,3 +229,42 @@ def test_pair_layout_fake_quant_forward_matches_plane():
     # identical indices -> identical dequantized matrices
     assert np.allclose(np.asarray(wp.dequantize()),
                        np.asarray(wq.dequantize()))
+
+
+def test_int8_layout_roundtrip_and_kernel():
+    """layout='int8': signed storage, pack-time K/N padding, unpack
+    roundtrip, and the convert+dot kernel vs the XLA oracle."""
+    from sleekit_tpu.ops.dequant_matmul import (_int8_affine,
+                                                _pallas_int8_impl)
+    from sleekit_tpu.ops.pack import (affine_from_lut, pack_indices,
+                                      unpack_indices)
+
+    rng = np.random.RandomState(21)
+    K, N, M = 200, 300, 4
+    idx = jnp.asarray(rng.randint(0, 256, (K, N)), jnp.int32)
+    packed = pack_indices(idx, 8, layout="int8")
+    assert packed.dtype == jnp.int8
+    assert packed.shape == (224, 1024)  # K->32-mult, N->1024-mult
+    back = unpack_indices(packed, 8, K, layout="int8")
+    np.testing.assert_array_equal(np.asarray(back[:, :N]), np.asarray(idx))
+
+    lut = np.linspace(-1.0, 1.0, 256).astype(np.float32)
+    w = PackedLinear(
+        packed=packed, scale=jnp.asarray(rng.rand(N).astype(np.float32)
+                                         + 0.5),
+        lut=jnp.asarray(lut),
+        bias=jnp.asarray(rng.randn(N).astype(np.float32)),
+        in_features=K, out_features=N, nbits=8,
+        affine=affine_from_lut(lut), layout="int8")
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32)).astype(jnp.bfloat16)
+    oracle = np.asarray(dequant_matmul_xla(x, w), np.float32)
+    a, b = _int8_affine(w)
+    got = np.asarray(_pallas_int8_impl(
+        x, w.packed, w.scale, w.bias, affine_a=a, affine_b=b,
+        block_n=1024, interpret=True, out_n=N), np.float32)
+    err = np.abs(got - oracle).max() / (np.abs(oracle).max() + 1e-9)
+    assert err < 2e-2, err
+    got2 = np.asarray(dequant_matmul_pallas(x, w, interpret=True),
+                      np.float32)
+    err2 = np.abs(got2 - oracle).max() / (np.abs(oracle).max() + 1e-9)
+    assert err2 < 2e-2, err2
