@@ -74,6 +74,14 @@ def main():
         import sleekit_tpu.models.transformer as _tr
         _tr.GLUE_FUSE = False
         log("  GLUE_FUSE disabled (A/B)")
+    if os.environ.get("BENCH_ATTN") or os.environ.get("BENCH_KV_CHUNK"):
+        import sleekit_tpu.ops.attention as _at
+        if os.environ.get("BENCH_ATTN"):
+            _at.FLASH_MHA_MODE = os.environ["BENCH_ATTN"]
+        if os.environ.get("BENCH_KV_CHUNK"):
+            _at.FLASH_KV_CHUNK = int(os.environ["BENCH_KV_CHUNK"])
+        log(f"  attention A/B: mode={_at.FLASH_MHA_MODE} "
+            f"kv_chunk={_at.FLASH_KV_CHUNK}")
 
     from sleekit_tpu.codebooks import UniformCodebook
     from sleekit_tpu.models.eval import decode_scan

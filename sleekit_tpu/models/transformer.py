@@ -721,7 +721,10 @@ def _run_layers_decode(cfg, params, x, positions, cache, pos):
     """Single-token decode through all blocks. The FULL stacked cache is
     the scan carry (updated in place by the Pallas append kernel); per-row
     positions handle ragged continuous batching."""
-    pos_vec = jnp.broadcast_to(jnp.asarray(pos), (x.shape[0],))
+    # A scalar pos stays scalar: the KV-append kernel's uniform fast path
+    # (one program for the whole batch) keys on it; every attention
+    # consumer broadcasts internally when it needs (B,).
+    pos_vec = jnp.asarray(pos)
     if cfg.scan_layers:
         bigs, rest = _split_stacked_packed(params["layers"])
 

@@ -99,6 +99,88 @@ def _append_q_kernel(pos_ref, layer_ref, knew_ref, vnew_ref,
     vs_out[...] = jnp.where(smask, vs[..., 0][None], vs_in[...])
 
 
+def _append_kernel_u(pos_ref, layer_ref, knew_ref, vnew_ref,
+                     ck_in, cv_in, ck_out, cv_out):
+    """Uniform-position append: ONE program blends all batch rows (the
+    common decode-synchronized case; a (B,) grid costs ~5x more in
+    per-program overhead than it moves in bytes)."""
+    del layer_ref
+    r = pos_ref[0] % _APPEND_WIN
+    row = lax.broadcasted_iota(jnp.int32, (_APPEND_WIN, 1), 0)
+    mask = (row == r)[None, None, None]                 # (1,1,1,WIN,1)
+    ck_out[...] = jnp.where(mask, knew_ref[...][None].astype(ck_out.dtype),
+                            ck_in[...])
+    cv_out[...] = jnp.where(mask, vnew_ref[...][None].astype(cv_out.dtype),
+                            cv_in[...])
+
+
+def _append_q_kernel_u(pos_ref, layer_ref, knew_ref, vnew_ref,
+                       ck_in, cv_in, ks_in, vs_in,
+                       ck_out, cv_out, ks_out, vs_out):
+    """Uniform-position int8 append (see _append_kernel_u)."""
+    del layer_ref
+    r = pos_ref[0] % _APPEND_WIN
+    row = lax.broadcasted_iota(jnp.int32, (_APPEND_WIN, 1), 0)
+    mask = (row == r)[None, None, None]                 # (1,1,1,WIN,1)
+    kq, ks = _quant_rows(knew_ref[...].astype(jnp.float32))  # (B,KV,1,D)
+    vq, vs = _quant_rows(vnew_ref[...].astype(jnp.float32))
+    ck_out[...] = jnp.where(mask, kq[None].astype(ck_out.dtype), ck_in[...])
+    cv_out[...] = jnp.where(mask, vq[None].astype(cv_out.dtype), cv_in[...])
+    S = ks_in.shape[-1]
+    col = lax.broadcasted_iota(jnp.int32, (1, S), 1)[None, None]
+    smask = col == pos_ref[0]                           # (1,1,1,S)
+    ks_out[...] = jnp.where(smask, ks[..., 0][None], ks_in[...])
+    vs_out[...] = jnp.where(smask, vs[..., 0][None], vs_in[...])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kv_append_uniform(k_new, v_new, cache_k, cache_v, pos, layer,
+                       k_scale=None, v_scale=None,
+                       interpret: bool = False):
+    """Uniform-position append: one program, full-batch window blend."""
+    L, B, KV, S, D = cache_k.shape
+    pos = jnp.clip(pos.astype(jnp.int32), 0, S - 1).reshape(1)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    k_new = k_new.reshape(B, KV, 1, D)
+    v_new = v_new.reshape(B, KV, 1, D)
+
+    cache_spec = pl.BlockSpec(
+        (1, B, KV, _APPEND_WIN, D),
+        lambda g, p, l: (l[0], 0, 0, p[0] // _APPEND_WIN, 0),
+        memory_space=pltpu.VMEM)
+    new_spec = pl.BlockSpec((B, KV, 1, D), lambda g, p, l: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if k_scale is None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(1,),
+            in_specs=[new_spec, new_spec, cache_spec, cache_spec],
+            out_specs=[cache_spec, cache_spec])
+        return pl.pallas_call(
+            _append_kernel_u, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+                       jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype)],
+            input_output_aliases={4: 0, 5: 1},
+            interpret=interpret,
+        )(pos, layer, k_new, v_new, cache_k, cache_v)
+    scale_spec = pl.BlockSpec((1, B, KV, S),
+                              lambda g, p, l: (l[0], 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1,),
+        in_specs=[new_spec, new_spec, cache_spec, cache_spec,
+                  scale_spec, scale_spec],
+        out_specs=[cache_spec, cache_spec, scale_spec, scale_spec])
+    return pl.pallas_call(
+        _append_q_kernel_u, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+                   jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+                   jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+                   jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)],
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        interpret=interpret,
+    )(pos, layer, k_new, v_new, cache_k, cache_v, k_scale, v_scale)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def kv_append_pallas(k_new, v_new, cache_k, cache_v, pos, layer,
                      k_scale=None, v_scale=None,
@@ -106,11 +188,18 @@ def kv_append_pallas(k_new, v_new, cache_k, cache_v, pos, layer,
     """Write k_new/v_new (B, KV, D) into cache (L, B, KV, S, D) at
     per-row positions ``pos`` (B,) of layer ``layer``, in place.
 
-    With ``k_scale``/``v_scale`` (L, B, KV, S) the cache is int8 and the
-    new vectors are quantized in-kernel (per-token symmetric scales).
+    A SCALAR ``pos`` takes the uniform fast path (one program blends the
+    whole batch); a (B,) vector handles ragged continuous batching with
+    one program per row. With ``k_scale``/``v_scale`` (L, B, KV, S) the
+    cache is int8 and the new vectors are quantized in-kernel
+    (per-token symmetric scales).
     """
     L, B, KV, S, D = cache_k.shape
     assert S % _APPEND_WIN == 0
+    if jnp.ndim(pos) == 0:
+        return _kv_append_uniform(k_new, v_new, cache_k, cache_v, pos,
+                                  layer, k_scale=k_scale, v_scale=v_scale,
+                                  interpret=interpret)
     pos = jnp.clip(jnp.broadcast_to(pos, (B,)).astype(jnp.int32), 0, S - 1)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     k_new = k_new.reshape(B, KV, 1, D)
@@ -249,6 +338,65 @@ def _decode_kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, slopes_ref,
         o_ref[0] = out.reshape(kv, groups, D_).astype(o_ref.dtype)
 
 
+def _decode_kernel_ew(pos_ref, layer_ref, q_ref, k_ref, v_ref, slopes_ref,
+                      ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                      scale, kv, s_blk):
+    """Elementwise (no-MXU) decode step for MHA (G == 1).
+
+    The one-big-dot kernel (:func:`_decode_kernel`) folds all KV heads
+    into one MXU contraction and pays VPU mask/softmax passes over a
+    (KV, KV*SB) logits matrix that is KV-times larger than the useful
+    block diagonal. With one query row per head the dot degenerates -
+    logits[h, s] = sum_d q[h, d] * k[h, s, d] is a broadcast multiply +
+    lane reduction over the (KV, SB, D) block, softmax runs on the tiny
+    (KV, SB) matrix, and int8 scales broadcast directly (no one-hot
+    sublane extraction). Online-softmax state carries across S blocks.
+    """
+    b = pl.program_id(0)
+    ns = pl.program_id(2)
+    n_s = pl.num_programs(2)
+    del layer_ref
+
+    @pl.when(ns == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    D_ = q_ref.shape[-1]
+    qf = q_ref[0].reshape(kv, 1, D_).astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)                  # (KV, SB, D)
+    if ks_ref is not None:
+        k = k * ks_ref[0, 0][..., None]
+    logits = jnp.sum(qf * k, axis=-1) * scale            # (KV, SB)
+    p = pos_ref[b]
+    col_s = (lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+             + ns * s_blk)
+    if slopes_ref is not None:
+        slope = slopes_ref[...].astype(jnp.float32)      # (KV, 1)
+        logits = logits + slope * (col_s - p).astype(jnp.float32)
+    logits = jnp.where(col_s <= p, logits, -jnp.inf)
+
+    m_blk = jnp.max(logits, axis=-1, keepdims=True)      # (KV, 1)
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, m_blk)
+    alpha = jnp.exp(m_prev - m_new)
+    p_exp = jnp.exp(logits - m_new)                      # (KV, SB)
+    l_new = l_ref[:, :1] * alpha + jnp.sum(p_exp, axis=-1, keepdims=True)
+    v = v_ref[0, 0].astype(jnp.float32)                  # (KV, SB, D)
+    if vs_ref is not None:
+        p_exp = p_exp * vs_ref[0, 0]
+    pv = jnp.sum(p_exp[..., None] * v, axis=1)           # (KV, D)
+    acc_ref[...] = acc_ref[...] * alpha + pv
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ns == n_s - 1)
+    def _():
+        out = acc_ref[...] / l_ref[:, :1]
+        o_ref[0] = out.reshape(kv, 1, D_).astype(o_ref.dtype)
+
+
 # KV heads folded per flash-decode program; None = fold ALL heads into
 # one dot per (batch, s-block) program. Folding inflates the logits
 # matrix (and the VPU softmax/mask passes over it) by the fold factor,
@@ -258,16 +406,22 @@ def _decode_kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, slopes_ref,
 # stays the default; the knob remains for other geometries.
 FLASH_KV_CHUNK = None
 
+# MHA (G == 1) decode path: 'dot' = one-big-dot MXU kernel,
+# 'ew' = elementwise kernel (_decode_kernel_ew). Swept on the full bench.
+FLASH_MHA_MODE = "dot"
+
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_s",
-                                             "kv_chunk", "interpret"))
+                                             "kv_chunk", "interpret",
+                                             "mha_mode"))
 def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
                         scale: float,
                         alibi_slopes: Optional[jnp.ndarray] = None,
                         k_scale=None, v_scale=None,
                         block_s: int = 256,
                         kv_chunk: Optional[int] = None,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        mha_mode: Optional[str] = None):
     """Masked decode attention out = softmax(q K^T / sqrt(D)) V.
 
     q: (B, H, D); cache: (L, B, KV, S, D); pos: (B,) int32 - the highest
@@ -327,6 +481,8 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
         in_specs += [sspec, sspec]
         args += [k_scale, v_scale]
 
+    use_ew = G == 1 and (mha_mode or FLASH_MHA_MODE) == "ew"
+
     def kernel(pr, lr, qr, kr, vr, *rest):
         i = 0
         slopes = rest[0] if has_slopes else None
@@ -334,8 +490,12 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
         ks = rest[i] if has_scales else None
         vs = rest[i + 1] if has_scales else None
         i += 2 * int(has_scales)
-        _decode_kernel(pr, lr, qr, kr, vr, slopes, ks, vs, *rest[i:],
-                       scale=scale, kv=kvc, groups=G, s_blk=s_blk)
+        if use_ew:
+            _decode_kernel_ew(pr, lr, qr, kr, vr, slopes, ks, vs,
+                              *rest[i:], scale=scale, kv=kvc, s_blk=s_blk)
+        else:
+            _decode_kernel(pr, lr, qr, kr, vr, slopes, ks, vs, *rest[i:],
+                           scale=scale, kv=kvc, groups=G, s_blk=s_blk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

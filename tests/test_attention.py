@@ -228,3 +228,54 @@ def test_engine_int8_cache_matches_f32():
         outs.append(c.new_tokens)
     agree = (outs[0] == outs[1]).mean()
     assert agree >= 0.8, agree
+
+
+@pytest.mark.parametrize("alibi", [False, True])
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("block_s", [32, 8])
+def test_flash_decode_ew_mha_matches_oracle(alibi, quant, block_s):
+    """Elementwise MHA decode kernel (no cross-head MXU waste) == oracle,
+    incl. int8 per-token scales, ALiBi, and multi-S-block online softmax."""
+    ck, cv, kn, vn, q, pos = _setup(G=1, KV=8)
+    layer = jnp.int32(1)
+    H = q.shape[1]
+    slopes = jnp.linspace(0.05, 0.9, H) if alibi else None
+    scale = 1.0 / np.sqrt(ck.shape[-1])
+    ks = vs = None
+    if quant:
+        rng = np.random.RandomState(5)
+        ck = jnp.asarray(rng.randint(-127, 128, ck.shape), jnp.int8)
+        cv = jnp.asarray(rng.randint(-127, 128, cv.shape), jnp.int8)
+        ks = jnp.asarray(0.01 + rng.rand(*ck.shape[:-1]).astype(np.float32))
+        vs = jnp.asarray(0.01 + rng.rand(*cv.shape[:-1]).astype(np.float32))
+    o1 = flash_decode_xla(q, ck, cv, pos, layer, scale, alibi_slopes=slopes,
+                          k_scale=ks, v_scale=vs)
+    o2 = flash_decode_pallas(q, ck, cv, pos, layer, scale,
+                             alibi_slopes=slopes, k_scale=ks, v_scale=vs,
+                             block_s=block_s, interpret=True,
+                             mha_mode="ew")
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_kv_append_uniform_fast_path_matches_vector(quant):
+    """Scalar pos takes the one-program uniform append; result identical
+    to the per-row grid with a broadcast position vector."""
+    ck, cv, kn, vn, q, pos = _setup()
+    layer = jnp.int32(2)
+    p0 = jnp.int32(int(np.asarray(pos)[0]))
+    ks = vs = None
+    if quant:
+        rng = np.random.RandomState(7)
+        ck = jnp.asarray(rng.randint(-127, 128, ck.shape), jnp.int8)
+        cv = jnp.asarray(rng.randint(-127, 128, cv.shape), jnp.int8)
+        ks = jnp.asarray(0.01 + rng.rand(*ck.shape[:-1]).astype(np.float32))
+        vs = jnp.asarray(0.01 + rng.rand(*cv.shape[:-1]).astype(np.float32))
+    vec = jnp.broadcast_to(p0, (ck.shape[1],))
+    out_u = kv_append_pallas(kn, vn, ck, cv, p0, layer,
+                             k_scale=ks, v_scale=vs, interpret=True)
+    out_v = kv_append_pallas(kn, vn, ck, cv, vec, layer,
+                             k_scale=ks, v_scale=vs, interpret=True)
+    for a, b in zip(out_u, out_v):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
