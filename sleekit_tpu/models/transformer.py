@@ -782,16 +782,18 @@ def _run_layers_prefill(cfg, params, x, positions, cache, write_pos):
     returns (x, new cache)."""
     if cfg.scan_layers:
         keys = sorted(cache.keys())
+        bigs, rest = _split_stacked_packed(params["layers"])
 
         def body(x, inp):
-            layer = inp[0]
-            entry = dict(zip(keys, inp[1:]))
+            layer = _merge_stacked_packed(bigs, inp[0], inp[1])
+            entry = dict(zip(keys, inp[2:]))
             x, entry, _ = _block(cfg, layer, x, positions,
                                  ("prefill", entry, write_pos), None, 0)
             return x, tuple(entry[k] for k in keys)
 
         x, outs = jax.lax.scan(
-            body, x, (params["layers"], *[cache[k] for k in keys]))
+            body, x, (rest, jnp.arange(cfg.n_layers),
+                      *[cache[k] for k in keys]))
         return x, dict(zip(keys, outs))
     new_cache = []
     for i, layer in enumerate(params["layers"]):
