@@ -11,6 +11,7 @@ packed checkpoint for the serving engine.
 """
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -42,6 +43,21 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
+
+    if jax.default_backend() not in ("cpu",):
+        # Persistent compile cache (TPU only - CPU AOT artifacts are not
+        # reliably deserializable, tests/conftest.py): the calibration
+        # forward + solver programs take minutes to compile through the
+        # axon relay and are identical across runs.
+        cache_root = os.environ.get("JAX_CACHE_DIR",
+                                    os.path.join(os.path.dirname(
+                                        os.path.dirname(os.path.dirname(
+                                            os.path.abspath(__file__)))),
+                                        ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(cache_root, jax.default_backend()))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     from sleekit_tpu.models.zoo import get_config
     from sleekit_tpu.models.transformer import init_params
     from sleekit_tpu.models.quantize import calibrate, quantize_model

@@ -104,3 +104,32 @@ def test_resume_manifest_skips_solved_layers(workload, tmp_path,
 # NOTE: wall-clock speedup of the parallel sweep is measured on real
 # hardware (8-device CPU mesh + TPU) and recorded in BENCH_NOTES.md -
 # tiny-layer CI timings are too noisy to assert on.
+
+
+def test_layerwise_calibration_matches_whole_forward():
+    """calibrate(layerwise=True) - one jitted block reused per layer -
+    produces bit-identical statistics to the single whole-model forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sleekit_tpu.models.quantize import calibrate
+    from sleekit_tpu.models.transformer import init_params
+    from sleekit_tpu.models.zoo import tiny_test
+
+    cfg = tiny_test(d_model=32, n_heads=2, n_layers=3, d_ff=48,
+                    vocab_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    batches = [jax.random.randint(jax.random.PRNGKey(i), (2, 16), 0, 64)
+               for i in range(3)]
+    s_whole = calibrate(cfg, params, batches, layerwise=False)
+    s_layer = calibrate(cfg, params, batches, layerwise=True)
+    assert set(s_whole) == set(s_layer)
+    for k in s_whole:
+        assert int(s_whole[k].count) == int(s_layer[k].count), k
+        np.testing.assert_allclose(np.asarray(s_whole[k].hessian),
+                                   np.asarray(s_layer[k].hessian),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s_whole[k].mean),
+                                   np.asarray(s_layer[k].mean),
+                                   rtol=1e-5, atol=1e-6)
