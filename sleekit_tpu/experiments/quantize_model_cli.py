@@ -89,6 +89,13 @@ def main(argv=None):
     with timer.section("calibrate"):
         stats = calibrate(cfg, params, batches)
         jax.block_until_ready(stats)
+    if jax.default_backend() not in ("cpu",):
+        # Offload statistics to the host: every Hessian held on-device
+        # simultaneously (8.4 GB for OPT-1.3B - fc2 alone is 268 MB
+        # f32) next to the dense f32 params RESOURCE_EXHAUSTs a 16 GB
+        # chip; each layer's stats stream back for its solve.
+        with timer.section("stats_offload"):
+            stats = jax.device_get(stats)
     with timer.section("quantize"):
         qparams, reports = quantize_model(cfg, params, stats, qconfig,
                                           pack=args.pack, verbose=True,

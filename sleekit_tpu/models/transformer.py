@@ -230,7 +230,10 @@ def _fused_proj(cfg, p, x, ln=None, act: Optional[str] = None,
         return y2.reshape(*shape[:-1], y2.shape[-1])
     if ln is not None:
         x = apply_norm(cfg, ln, x)
-    if act is not None:
+    if act == "silu_glu":
+        dff = x.shape[-1] // 2
+        x = jax.nn.silu(x[..., :dff]) * x[..., dff:]
+    elif act is not None:
         x = _activation(cfg, x)
     y = apply_linear(p, x)
     if residual is not None:
@@ -261,7 +264,9 @@ def rope_freqs(cfg: TransformerConfig, positions: jnp.ndarray):
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x: (B, T, H, hd); cos/sin: (T, hd/2) or (B, T, hd/2)."""
+    """x: (B, T, H, hd); cos/sin: (T, hd/2) or (B, T, hd/2). Rotates in
+    f32, returns x.dtype (a silent f32 promotion here flips the decode
+    scan carry dtype on rope models)."""
     x1, x2 = jnp.split(x, 2, axis=-1)
     if cos.ndim == 2:
         cos = cos[None, :, None, :]
@@ -269,7 +274,9 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     else:
         cos = cos[:, :, None, :]
         sin = sin[:, :, None, :]
-    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                          axis=-1)
+    return out.astype(x.dtype)
 
 
 # ---- attention ----------------------------------------------------------
@@ -491,8 +498,8 @@ def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
     if cfg.activation == "silu_glu":
         if "gate_up" in layer["mlp"]:
             gu = _fused_proj(cfg, layer["mlp"]["gate_up"], x, ln=ln2)
-            h = jax.nn.silu(gu[..., :cfg.d_ff]) * gu[..., cfg.d_ff:]
-            x = _fused_proj(cfg, layer["mlp"]["down"], h, residual=x)
+            x = _fused_proj(cfg, layer["mlp"]["down"], gu,
+                            act="silu_glu", residual=x)
         else:
             h = apply_norm(cfg, layer["ln2"], x) if cfg.pre_norm else x
             gate = lin("gate", layer["mlp"]["gate"], h)
@@ -621,7 +628,9 @@ def forward(cfg: TransformerConfig, params, tokens: jnp.ndarray,
     else:
         for i, layer in enumerate(params["layers"]):
             x, _, stats = _block(cfg, layer, x, positions, None, stats, i)
-    logits = _unembed(cfg, params, x)
+    # int8-layout heads are padded wide at pack time; logits slice to the
+    # true vocabulary here (sharded callers slice after their gather).
+    logits = _unembed(cfg, params, x)[..., :cfg.vocab_size]
     if stats is not None:
         return logits, stats
     return logits
@@ -819,7 +828,7 @@ def decode_step(cfg: TransformerConfig, params, tokens: jnp.ndarray,
         positions = pos[:, None]
     x = _embed(cfg, params, tokens, positions)
     x, new_cache = _run_layers_decode(cfg, params, x, positions, cache, pos)
-    logits = _unembed(cfg, params, x)
+    logits = _unembed(cfg, params, x)[..., :cfg.vocab_size]
     return logits[:, 0, :], new_cache
 
 
@@ -830,4 +839,4 @@ def prefill(cfg: TransformerConfig, params, tokens: jnp.ndarray, cache):
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     x = _embed(cfg, params, tokens, positions)
     x, new_cache = _run_layers_prefill(cfg, params, x, positions, cache, 0)
-    return _unembed(cfg, params, x), new_cache
+    return _unembed(cfg, params, x)[..., :cfg.vocab_size], new_cache

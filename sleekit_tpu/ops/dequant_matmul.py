@@ -166,8 +166,14 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
     """
     if stacked:
         refs = refs[1:]  # scalar-prefetch layer index consumed by index maps
-    x_ref, w_ref, scale_ref, bias_ref = refs[:4]
-    i = 4
+    if pre == "silu_glu":
+        # Two offset views of the same gate|up projection output: the
+        # GLU combine happens in-register, per K block.
+        x_ref, xu_ref, w_ref, scale_ref, bias_ref = refs[:5]
+        i = 5
+    else:
+        x_ref, w_ref, scale_ref, bias_ref = refs[:4]
+        i = 4
     ln_s_ref = ln_b_ref = res_ref = None
     if pre in ("layernorm", "rmsnorm"):
         ln_s_ref = refs[i]
@@ -221,6 +227,10 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
         x = jnp.maximum(x_ref[:], 0).astype(jnp.bfloat16)
     elif pre == "gelu":
         x = jax.nn.gelu(x_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+    elif pre == "silu_glu":
+        g = x_ref[:].astype(jnp.float32)
+        x = (jax.nn.silu(g) * xu_ref[:].astype(jnp.float32)
+             ).astype(jnp.bfloat16)
     else:
         x = x_ref[:].astype(jnp.bfloat16)
     if b_aff != 0.0:
@@ -295,6 +305,9 @@ def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
     if bn > 0:
         block_n = bn
     m, k = x.shape
+    glu = pre == "silu_glu"
+    if glu:
+        k //= 2  # x holds [gate | up]; the dot contracts over k
     stacked = packed.ndim == 3
     kw, n = packed.shape[-2:]
     hp, pg = pair_planes(nbits), pair_group(nbits)
@@ -318,11 +331,17 @@ def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
                                 jnp.int32), axis=0, keepdims=False)
         stacked = False
 
-    if (m_pad, k_pad) == (m, k):
-        x_p = x
+    def pad_x(v):
+        if (m_pad, k_pad) == v.shape:
+            return v
+        out = jnp.zeros((m_pad, k_pad), v.dtype)
+        return lax.dynamic_update_slice(out, v, (0, 0))
+
+    xu_p = None
+    if glu:
+        x_p, xu_p = pad_x(x[:, :k]), pad_x(x[:, k:])
     else:
-        x_p = jnp.zeros((m_pad, k_pad), x.dtype)
-        x_p = lax.dynamic_update_slice(x_p, x, (0, 0))
+        x_p = pad_x(x)
     packed_p = (packed if stacked or (kw_pad, n_pad) == (kw, n)
                 else jnp.pad(packed, ((0, kw_pad - kw), (0, n_pad - n))))
     scale_p = jnp.pad(scale, (0, n_pad - n)).reshape(1, n_pad)
@@ -346,9 +365,10 @@ def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
     def imap(fn):
         return (lambda i, j, L: fn(i, j)) if stacked else fn
 
+    x_spec = pl.BlockSpec((m_pad, kb * bk), imap(lambda i, j: (0, j)),
+                          memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((m_pad, kb * bk), imap(lambda i, j: (0, j)),
-                     memory_space=pltpu.VMEM),
+        x_spec,
         (pl.BlockSpec((1, kb * pg, bn), lambda i, j, L: (L[0], j, i),
                       memory_space=pltpu.VMEM) if stacked else
          pl.BlockSpec((kb * pg, bn), lambda i, j: (j, i),
@@ -359,6 +379,9 @@ def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
                      memory_space=pltpu.VMEM),
     ]
     operands = [x_p, packed_p, scale_p, bias_p]
+    if glu:
+        in_specs.insert(1, x_spec)
+        operands.insert(1, xu_p)
     if pre in ("layernorm", "rmsnorm"):
         assert ln_scale is not None
         for v in (ln_scale, ln_bias):
@@ -666,6 +689,7 @@ def fused_quantized_matmul(x: jnp.ndarray, w: PackedLinear, *,
         use_pallas = jax.default_backend() not in ("cpu",)
     if (use_pallas or interpret) and can_fuse_glue(x, w):
         if w.layout == "int8":
+            assert pre != "silu_glu", "GLU fusion is pair-layout only"
             a, b = _int8_affine(w)
             return _pallas_int8_impl(
                 x, w.packed, w.scale, w.bias, ln_scale, ln_bias, residual,
@@ -692,6 +716,9 @@ def fused_quantized_matmul(x: jnp.ndarray, w: PackedLinear, *,
         h32 = jnp.maximum(h32, 0)
     elif pre == "gelu":
         h32 = jax.nn.gelu(h32)
+    elif pre == "silu_glu":
+        kk = h32.shape[-1] // 2
+        h32 = jax.nn.silu(h32[..., :kk]) * h32[..., kk:]
     y = quantized_matmul(h32.astype(x.dtype), w, use_pallas=use_pallas)
     if residual is not None:
         y = y + residual

@@ -352,11 +352,25 @@ def pack_quantized(
         layout = ("pair" if aff and nbits <= 7
                   else "int8" if aff and nbits == 8 else "plane")
     packed = pack_indices(idx.T, nbits, layout=layout)  # serving layout (K, N)
+    scale = jnp.asarray(scale, jnp.float32)
+    if bias is not None:
+        bias = jnp.asarray(bias, jnp.float32)
+    if layout == "int8" and packed.shape[1] != out_f:
+        # The int8 layout pads N at PACK time; pad scale/bias with it and
+        # make the container uniformly "wide" (out_features = padded N) so
+        # every per-channel vector shards/streams identically - consumers
+        # (forward/_unembed, tp logits gather) slice to the true vocab.
+        # Padded columns have scale 0: their outputs are exactly bias (0).
+        n_pad = packed.shape[1]
+        scale = jnp.pad(scale, (0, n_pad - out_f))
+        if bias is not None:
+            bias = jnp.pad(bias, (0, n_pad - out_f))
+        out_f = n_pad
     return PackedLinear(
         packed=packed,
-        scale=jnp.asarray(scale, jnp.float32),
+        scale=scale,
         lut=lut,
-        bias=None if bias is None else jnp.asarray(bias, jnp.float32),
+        bias=bias,
         in_features=in_f,
         out_features=out_f,
         nbits=nbits,

@@ -292,7 +292,7 @@ def tp_prefill(cfg: TransformerConfig, params, tokens, cache,
         logits = _unembed(cfg, params, x)
         if gather_logits and n > 1:
             logits = lax.all_gather(logits, axis, axis=2, tiled=True)
-        return logits, new_cache
+        return logits[..., :cfg.vocab_size], new_cache
 
     slope_args = () if slopes_full is None else (slopes_full,)
     slope_specs = () if slopes_full is None else (P(axis),)

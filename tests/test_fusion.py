@@ -67,7 +67,8 @@ def test_packed_lm_head_matches_dense():
 @pytest.mark.parametrize("nbits", [3, 4])
 @pytest.mark.parametrize("pre,use_res", [
     (None, True), ("layernorm", False), ("layernorm", True),
-    ("rmsnorm", False), ("relu", True), ("gelu", False)])
+    ("rmsnorm", False), ("relu", True), ("gelu", False),
+    ("silu_glu", True)])
 def test_glue_fused_pair_kernel_matches_composed(nbits, pre, use_res):
     """Decode-glue fusion (pre-norm / pre-activation / residual inside
     the pair kernel) matches the composed XLA oracle, incl. K sizes that
@@ -87,7 +88,8 @@ def test_glue_fused_pair_kernel_matches_composed(nbits, pre, use_res):
         bias=jnp.asarray(rng.randn(N).astype(np.float32)),
         in_features=K, out_features=N, nbits=nbits,
         affine=affine_from_lut(lut), layout="pair")
-    x = jnp.asarray(rng.randn(M, K).astype(np.float32) * 2.0
+    xk = 2 * K if pre == "silu_glu" else K
+    x = jnp.asarray(rng.randn(M, xk).astype(np.float32) * 2.0
                     ).astype(jnp.bfloat16)
     kw = dict(
         ln_scale=(jnp.asarray(rng.rand(K).astype(np.float32) + 0.5)
