@@ -353,7 +353,10 @@ def tp_decode_step(cfg: TransformerConfig, params, tokens, cache, pos,
         logits = _unembed(cfg, params, x)[:, 0, :]
         if gather_logits and n > 1:
             logits = lax.all_gather(logits, axis, axis=1, tiled=True)
-        return logits, new_cache
+        # int8-layout heads pad N at pack time (ops/pack.py); the pad
+        # columns ride through the gather and must be sliced off, exactly
+        # as in the prefill path above.
+        return logits[..., :cfg.vocab_size], new_cache
 
     slope_args = () if slopes_full is None else (slopes_full,)
     slope_specs = () if slopes_full is None else (P(axis),)
