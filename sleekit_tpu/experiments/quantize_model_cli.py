@@ -40,6 +40,11 @@ def main(argv=None):
     parser.add_argument("--eval-ppl", action="store_true",
                         help="Report perplexity before/after on held-out tokens")
     parser.add_argument("--no-pack", dest="pack", action="store_false")
+    parser.add_argument("--offload-stats", type=str, default="auto",
+                        choices=["auto", "always", "never"],
+                        help="Move calibration Hessians to host RAM before "
+                             "the solve loop (auto: only when stats+params "
+                             "exceed the HBM budget)")
     args = parser.parse_args(argv)
 
     import jax
@@ -90,12 +95,53 @@ def main(argv=None):
         stats = calibrate(cfg, params, batches)
         jax.block_until_ready(stats)
     if jax.default_backend() not in ("cpu",):
-        # Offload statistics to the host: every Hessian held on-device
-        # simultaneously (8.4 GB for OPT-1.3B - fc2 alone is 268 MB
-        # f32) next to the dense f32 params RESOURCE_EXHAUSTs a 16 GB
-        # chip; each layer's stats stream back for its solve.
-        with timer.section("stats_offload"):
-            stats = jax.device_get(stats)
+        # Offload statistics to the host ONLY when the footprint demands
+        # it. The round-1 blanket offload avoided a RESOURCE_EXHAUSTED
+        # (every Hessian + dense f32 params + every solution held at
+        # once) but cost ~13 min of axon-tunnel round-trips for OPT-1.3B
+        # (8.4 GB down + 8.4 GB back up at ~35 MB/s, round-2 journal).
+        # With free_stats + per-layer apply the steady peak is
+        # params + stats + one solve workspace, which fits a 16 GB chip
+        # for 1.3B-class models - so stats stay on device unless the
+        # estimate exceeds the HBM budget (or --offload-stats=always).
+        def _tree_bytes(t):
+            return sum(x.size * x.dtype.itemsize
+                       for x in jax.tree_util.tree_leaves(t))
+
+        need = _tree_bytes(stats) + _tree_bytes(params)
+        try:
+            limit = jax.local_devices()[0].memory_stats()["bytes_limit"]
+        except Exception:  # noqa: BLE001 - memory_stats is backend-optional
+            limit = 16e9
+        # Headroom for the largest solve workspace (fc2-class Hessian
+        # copy + flipped Cholesky + grid-scaling temps + dequantized
+        # solution; 2.3 GB measured insufficient for OPT-1.3B fc2).
+        budget = limit - 3.5e9
+        if args.offload_stats == "always":
+            with timer.section("stats_offload"):
+                stats = jax.device_get(stats)
+            print(f"stats offloaded to host ({_tree_bytes(stats) / 1e9:.2f}"
+                  " GB, --offload-stats=always)", flush=True)
+        elif args.offload_stats == "auto" and need > budget:
+            # Shed only the largest Hessians (host RAM), keeping the rest
+            # on device; the solve loop prefetches host entries one layer
+            # ahead so their H2D rides under the previous solve.
+            order = sorted(stats, key=lambda n: -stats[n].hessian.nbytes)
+            shed = []
+            with timer.section("stats_offload"):
+                for name in order:
+                    if need <= budget:
+                        break
+                    entry_bytes = _tree_bytes(stats[name])
+                    stats[name] = jax.device_get(stats[name])
+                    need -= entry_bytes
+                    shed.append(name)
+            print(f"selective offload: {len(shed)}/{len(stats)} stats "
+                  f"entries to host; {need / 1e9:.2f} GB stay on-device "
+                  f"(HBM {limit / 1e9:.2f} GB)", flush=True)
+        else:
+            print(f"stats+params {need / 1e9:.2f} GB on device "
+                  f"(HBM {limit / 1e9:.2f} GB, no offload)", flush=True)
     with timer.section("quantize"):
         qparams, reports = quantize_model(cfg, params, stats, qconfig,
                                           pack=args.pack, verbose=True,

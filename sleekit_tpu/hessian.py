@@ -210,6 +210,32 @@ def hessian_inv_chol_robust(
     return hinv, eff / base
 
 
+def _tri_inv_lower(L: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+    """L^-1 for lower-triangular L, solved in RHS column blocks.
+
+    One ``solve_triangular`` against the full identity compiles to ~9 GB
+    of XLA temps at n=8192 (measured, round-2 journal) - enough to
+    RESOURCE_EXHAUST a chip that also holds a model's calibration
+    Hessians. Splitting the identity into column blocks under ``lax.map``
+    is exact (the solve is linear in RHS columns) and caps temps at
+    ~1/nb of the monolithic solve, same total FLOPs.
+    """
+    n = L.shape[0]
+    if n % block != 0 or n <= block:
+        return jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(n, dtype=L.dtype), lower=True)
+    nb = n // block
+    rows = jnp.arange(n)[:, None]
+
+    def one(j):
+        cols = j * block + jnp.arange(block)[None, :]
+        rhs = (rows == cols).astype(L.dtype)
+        return jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+
+    blocks = jax.lax.map(one, jnp.arange(nb))      # (nb, n, block)
+    return jnp.moveaxis(blocks, 0, 1).reshape(n, n)
+
+
 def hessian_inv_chol(H: jnp.ndarray) -> jnp.ndarray:
     """Upper Cholesky factor of H^-1 via the flip trick.
 
@@ -217,11 +243,8 @@ def hessian_inv_chol(H: jnp.ndarray) -> jnp.ndarray:
     triangular U with U U^T proportional structure identical to GPTQ's
     ``cholesky(inv(H), upper=True)`` (equivalence asserted by the reference,
     tests/test_obq.py:21-32; ref obq.py:38-55). The triangular inverse is a
-    ``solve_triangular`` against the identity, which XLA maps well to TPU.
+    blocked ``solve_triangular`` against the identity (:func:`_tri_inv_lower`).
     """
-    n = H.shape[0]
     Hf = H[::-1, ::-1]
     L = jnp.linalg.cholesky(Hf)
-    Linv = jax.scipy.linalg.solve_triangular(
-        L, jnp.eye(n, dtype=H.dtype), lower=True)
-    return Linv[::-1, ::-1]
+    return _tri_inv_lower(L)[::-1, ::-1]

@@ -219,14 +219,31 @@ def quantize_model(
                 finish(name, out, wall)
         pending = []
 
-    for name in pending:
+    # Host-resident stats (offloaded Hessians) are prefetched one layer
+    # ahead with async device_put so the H2D tunnel transfer of layer
+    # i+1 overlaps the solve of layer i.
+    prefetched: Dict[str, LayerStats] = {}
+
+    def _fetch(name):
+        st = prefetched.pop(name, None) or stats[name]
+        if isinstance(st.hessian, np.ndarray):
+            st = jax.tree_util.tree_map(jax.device_put, st)
+        return st
+
+    for idx, name in enumerate(pending):
         t0 = time.time()
         p = get_linear_param(params, name)
-        st = stats[name]
+        st = _fetch(name)
+        if idx + 1 < len(pending):
+            nxt = pending[idx + 1]
+            if isinstance(stats[nxt].hessian, np.ndarray):
+                prefetched[nxt] = jax.tree_util.tree_map(
+                    jax.device_put, stats[nxt])
         W = p["kernel"].T  # (out, in), the quantizer's layout
         cb_solve = (qconfig.make_codebook(W) if per_layer_cb
                     else (cb if explicit_cb else None))
         out = quantize_layer(W, st.hessian, st.mean, qconfig, cb_solve)
+        del st
         if resume_dir is not None:
             _save_layer_artifact(resume_dir, name, *out)
         finish(name, out, time.time() - t0)
