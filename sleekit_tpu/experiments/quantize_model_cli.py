@@ -128,13 +128,20 @@ def main(argv=None):
             # ahead so their H2D rides under the previous solve.
             order = sorted(stats, key=lambda n: -stats[n].hessian.nbytes)
             shed = []
+            max_shed = 0
             with timer.section("stats_offload"):
                 for name in order:
-                    if need <= budget:
+                    # During the solve loop up to TWO shed entries are
+                    # transiently back on device (current layer + the
+                    # prefetched next one); budget for them on top of the
+                    # steady state or large models re-trigger
+                    # RESOURCE_EXHAUSTED (advisor round 2).
+                    if need + 2 * max_shed <= budget:
                         break
                     entry_bytes = _tree_bytes(stats[name])
                     stats[name] = jax.device_get(stats[name])
                     need -= entry_bytes
+                    max_shed = max(max_shed, entry_bytes)
                     shed.append(name)
             print(f"selective offload: {len(shed)}/{len(stats)} stats "
                   f"entries to host; {need / 1e9:.2f} GB stay on-device "

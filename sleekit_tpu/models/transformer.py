@@ -554,6 +554,24 @@ def _unembed(cfg, params, x):
     return logits
 
 
+def finalize_logits(cfg, logits):
+    """THE single owner of the padded-vocab contract: int8-layout packed
+    heads pad N to the kernel block at PACK time (ops/pack.py pack_indices)
+    so the hot path never pads at runtime; every consumer must slice raw
+    unembed output back to the true vocabulary before softmax/sampling.
+    Sharded callers slice AFTER their logits all-gather (the pad columns
+    ride through the gather). Two past regressions (commits 093a721,
+    e3eb05d) came from scattered slice sites - route all of them here.
+    """
+    return logits[..., :cfg.vocab_size]
+
+
+def unembed_logits(cfg, params, x):
+    """_unembed + the padded-vocab slice, for single-device callers whose
+    logits are complete (not vocab-sharded) straight out of the kernel."""
+    return finalize_logits(cfg, _unembed(cfg, params, x))
+
+
 def fuse_qkv_params(cfg: TransformerConfig, params):
     """Serving-time projection fusion: q|k|v -> one 'qkv' linear (and
     gate|up -> 'gate_up' for SwiGLU models). Exact - per-output-channel
@@ -628,9 +646,7 @@ def forward(cfg: TransformerConfig, params, tokens: jnp.ndarray,
     else:
         for i, layer in enumerate(params["layers"]):
             x, _, stats = _block(cfg, layer, x, positions, None, stats, i)
-    # int8-layout heads are padded wide at pack time; logits slice to the
-    # true vocabulary here (sharded callers slice after their gather).
-    logits = _unembed(cfg, params, x)[..., :cfg.vocab_size]
+    logits = unembed_logits(cfg, params, x)
     if stats is not None:
         return logits, stats
     return logits
@@ -828,7 +844,7 @@ def decode_step(cfg: TransformerConfig, params, tokens: jnp.ndarray,
         positions = pos[:, None]
     x = _embed(cfg, params, tokens, positions)
     x, new_cache = _run_layers_decode(cfg, params, x, positions, cache, pos)
-    logits = _unembed(cfg, params, x)[..., :cfg.vocab_size]
+    logits = unembed_logits(cfg, params, x)
     return logits[:, 0, :], new_cache
 
 
@@ -839,4 +855,4 @@ def prefill(cfg: TransformerConfig, params, tokens: jnp.ndarray, cache):
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     x = _embed(cfg, params, tokens, positions)
     x, new_cache = _run_layers_prefill(cfg, params, x, positions, cache, 0)
-    return _unembed(cfg, params, x)[..., :cfg.vocab_size], new_cache
+    return unembed_logits(cfg, params, x), new_cache

@@ -35,6 +35,7 @@ from sleekit_tpu.models.transformer import (
     TransformerConfig,
     _embed,
     _unembed,
+    finalize_logits,
     alibi_slopes,
     apply_linear,
     apply_norm,
@@ -292,7 +293,7 @@ def tp_prefill(cfg: TransformerConfig, params, tokens, cache,
         logits = _unembed(cfg, params, x)
         if gather_logits and n > 1:
             logits = lax.all_gather(logits, axis, axis=2, tiled=True)
-        return logits[..., :cfg.vocab_size], new_cache
+        return finalize_logits(cfg, logits), new_cache
 
     slope_args = () if slopes_full is None else (slopes_full,)
     slope_specs = () if slopes_full is None else (P(axis),)
@@ -353,10 +354,7 @@ def tp_decode_step(cfg: TransformerConfig, params, tokens, cache, pos,
         logits = _unembed(cfg, params, x)[:, 0, :]
         if gather_logits and n > 1:
             logits = lax.all_gather(logits, axis, axis=1, tiled=True)
-        # int8-layout heads pad N at pack time (ops/pack.py); the pad
-        # columns ride through the gather and must be sliced off, exactly
-        # as in the prefill path above.
-        return logits[..., :cfg.vocab_size], new_cache
+        return finalize_logits(cfg, logits), new_cache
 
     slope_args = () if slopes_full is None else (slopes_full,)
     slope_specs = () if slopes_full is None else (P(axis),)

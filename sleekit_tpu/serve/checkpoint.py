@@ -19,11 +19,24 @@ import jax.numpy as jnp
 
 from sleekit_tpu.ops.pack import PackedLinear
 
-FORMAT_VERSION = "skq1"
+# skq2 = skq1 + persisted ``k_splits`` (the TP row-sharding format).
+# skq1 checkpoints predate k_splits and are all k_splits=1, so they load
+# unchanged; loaders reject unknown future formats.
+FORMAT_VERSION = "skq2"
+_READABLE_FORMATS = ("skq1", "skq2")
 
 
 def _flatten(tree, path, arrays, spec_out):
     if isinstance(tree, PackedLinear):
+        if tree.layer_sel is not None:
+            # layer_sel is a traced scan-time index into the stacked
+            # (L, kw, N) tensor - checkpointing one would freeze a
+            # runtime value into the store. Callers save the stacked
+            # container (layer_sel=None) and re-attach selection at
+            # decode time (models/transformer scan setup).
+            raise ValueError(
+                f"cannot checkpoint PackedLinear at '{path}' with "
+                "layer_sel set; save the stacked container instead")
         entry = {
             "__packed__": True,
             "in_features": tree.in_features,
@@ -31,6 +44,7 @@ def _flatten(tree, path, arrays, spec_out):
             "nbits": tree.nbits,
             "affine": list(tree.affine) if tree.affine else None,
             "layout": tree.layout,
+            "k_splits": tree.k_splits,
             "packed": _store(arrays, tree.packed),
             "scale": _store(arrays, tree.scale),
             "lut": _store(arrays, tree.lut),
@@ -87,6 +101,7 @@ def _rebuild(desc, tensors):
                 affine=None if desc["affine"] is None
                 else tuple(desc["affine"]),
                 layout=desc.get("layout", "linear"),
+                k_splits=desc.get("k_splits", 1),
             )
         return {k: _rebuild(v, tensors) for k, v in desc.items()}
     if isinstance(desc, list):
@@ -101,7 +116,7 @@ def load_packed_params(path: str) -> Tuple[Any, Dict[str, Any]]:
     Returns (params, meta)."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
-    if manifest.get("format") != FORMAT_VERSION:
+    if manifest.get("format") not in _READABLE_FORMATS:
         raise ValueError(f"unsupported checkpoint format {manifest.get('format')}")
     tensors = np.load(os.path.join(path, "tensors.npz"))
     params = _rebuild(manifest["tree"], tensors)

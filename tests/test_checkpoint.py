@@ -39,6 +39,68 @@ def test_checkpoint_roundtrip_dense(tmp_path):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_roundtrip_tp_split(tmp_path):
+    """A split_packed_k (TP row-sharding format) tree must round-trip with
+    k_splits intact: losing it makes dequantize() read interleaved garbage
+    (round-2 VERDICT item 5)."""
+    import dataclasses
+
+    from sleekit_tpu.ops.pack import pack_quantized, split_packed_k
+    from sleekit_tpu.codebooks import UniformCodebook
+
+    rng = np.random.RandomState(3)
+    cb = UniformCodebook(16, -1.0, 1.0)
+    scale = jnp.asarray(rng.rand(24).astype(np.float32) + 0.5)
+    w = cb(jnp.asarray(rng.randn(24, 256).astype(np.float32))
+           / scale[:, None]) * scale[:, None]
+    p = pack_quantized(w, scale, cb)
+    sp = split_packed_k(p, 4)
+    assert sp.k_splits == 4
+    save_packed_params(str(tmp_path / "tp"), {"layer": sp})
+    loaded, _ = load_packed_params(str(tmp_path / "tp"))
+    assert loaded["layer"].k_splits == 4
+    assert np.array_equal(np.asarray(sp.dequantize()),
+                          np.asarray(loaded["layer"].dequantize()))
+
+
+def test_checkpoint_rejects_layer_sel(tmp_path):
+    """layer_sel is a traced scan-time index; persisting it would freeze a
+    runtime value, so save must reject it with a clear error."""
+    import dataclasses
+
+    from sleekit_tpu.ops.pack import pack_quantized
+    from sleekit_tpu.codebooks import UniformCodebook
+
+    rng = np.random.RandomState(4)
+    cb = UniformCodebook(16, -1.0, 1.0)
+    scale = jnp.asarray(rng.rand(8).astype(np.float32) + 0.5)
+    w = cb(jnp.asarray(rng.randn(8, 64).astype(np.float32))
+           / scale[:, None]) * scale[:, None]
+    p = pack_quantized(w, scale, cb)
+    stacked = dataclasses.replace(
+        p, packed=p.packed[None], layer_sel=jnp.int32(0))
+    with pytest.raises(ValueError, match="layer_sel"):
+        save_packed_params(str(tmp_path / "ls"), {"layer": stacked})
+
+
+def test_checkpoint_reads_skq1(tmp_path):
+    """Old-format (pre-k_splits) checkpoints keep loading: every skq1
+    PackedLinear is k_splits=1."""
+    import json
+
+    cfg = tiny_test(n_layers=1)
+    params, _ = random_packed_params(cfg, jax.random.PRNGKey(2))
+    save_packed_params(str(tmp_path / "old"), params)
+    mpath = tmp_path / "old" / "manifest.json"
+    m = json.loads(mpath.read_text())
+    m["format"] = "skq1"
+    mpath.write_text(json.dumps(m))
+    loaded, _ = load_packed_params(str(tmp_path / "old"))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_bad_format(tmp_path):
     import json, os
     d = tmp_path / "bad"

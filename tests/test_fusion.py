@@ -64,6 +64,32 @@ def test_packed_lm_head_matches_dense():
     assert (got.argmax(-1) == ref.argmax(-1)).mean() > 0.99
 
 
+def test_padded_vocab_sliced_everywhere():
+    """Regression for the int8-head N-padding contract (commits 093a721,
+    e3eb05d both fixed missed slices): with a vocab far from the 1024
+    pack block, every logits-producing entry point must return exactly
+    vocab_size columns, and the pad columns must not shift the argmax."""
+    from sleekit_tpu.models.eval import generate_fused
+    from sleekit_tpu.models.quantize import pack_lm_head
+    from sleekit_tpu.models.transformer import decode_step, init_kv_cache, prefill
+
+    cfg = tiny_test(d_model=32, n_heads=2, n_layers=1, d_ff=48,
+                    vocab_size=100)
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    packed = pack_lm_head(cfg, params, nbits=8)
+    assert packed["lm_head"].out_features == 1024  # contract precondition
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 5), 0, 100)
+    logits = forward(cfg, packed, tokens)
+    assert logits.shape[-1] == cfg.vocab_size
+    cache = init_kv_cache(cfg, 2, 16)
+    pl, cache = prefill(cfg, packed, tokens, cache)
+    assert pl.shape[-1] == cfg.vocab_size
+    dl, _ = decode_step(cfg, packed, tokens[:, -1:], cache, jnp.int32(5))
+    assert dl.shape[-1] == cfg.vocab_size
+    out = np.asarray(generate_fused(cfg, packed, tokens, 4))
+    assert out.max() < cfg.vocab_size  # sampler never picks a pad column
+
+
 @pytest.mark.parametrize("nbits", [3, 4])
 @pytest.mark.parametrize("pre,use_res", [
     (None, True), ("layernorm", False), ("layernorm", True),
