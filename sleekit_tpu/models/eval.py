@@ -74,6 +74,75 @@ def decode_scan(cfg: TransformerConfig, params, cache, last_token, pos0,
     return jnp.transpose(toks), cache, last, pos
 
 
+def sample_tokens(logits, temps, key):
+    """Per-slot greedy/temperature sampling (greedy where temp == 0)."""
+    greedy = jnp.argmax(logits, axis=-1)
+    safe_t = jnp.maximum(temps, 1e-4)
+    sampled = jax.random.categorical(key, logits / safe_t[:, None], axis=-1)
+    return jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+
+
+def sample_tokens_topkp(logits, temps, top_ks, top_ps, key):
+    """Per-slot greedy / temperature / top-k / top-p (nucleus) sampling.
+
+    One program for all slots with per-slot knobs: the scaled logits are
+    sorted once per slot; top-k keeps the k largest, top-p keeps the
+    smallest prefix of the (k-masked) distribution whose mass reaches p.
+    ``top_k == 0`` and ``top_p >= 1`` each disable their cut exactly.
+    """
+    V = logits.shape[-1]
+    greedy = jnp.argmax(logits, axis=-1)
+    safe_t = jnp.maximum(temps, 1e-4)
+    scaled = logits.astype(jnp.float32) / safe_t[:, None]
+
+    sorted_desc = -jnp.sort(-scaled, axis=-1)
+    k = jnp.where(top_ks > 0, top_ks, V).astype(jnp.int32)
+    kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
+    masked = jnp.where(scaled < kth, -jnp.inf, scaled)
+
+    pos = jnp.arange(V)[None, :]
+    sorted_masked = jnp.where(pos < k[:, None], sorted_desc, -jnp.inf)
+    sp = jax.nn.softmax(sorted_masked, axis=-1)
+    cum = jnp.cumsum(sp, axis=-1)
+    # Keep tokens whose exclusive cumulative mass is < p (the argmax token
+    # always survives); top_p >= 1 keeps the whole k-masked distribution.
+    keep = ((cum - sp) < top_ps[:, None]) | (top_ps[:, None] >= 1.0)
+    thresh = jnp.min(jnp.where(keep, sorted_masked, jnp.inf), axis=-1)
+    final = jnp.where(masked >= thresh[:, None], masked, -jnp.inf)
+
+    sampled = jax.random.categorical(key, final, axis=-1)
+    return jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "use_topkp"),
+         donate_argnums=(2,))
+def decode_scan_sampled(cfg: TransformerConfig, params, cache, last_token,
+                        pos0, steps: int, temps, top_ks, top_ps, key,
+                        use_topkp: bool = False):
+    """Fused multi-token decode with ON-DEVICE per-slot sampling: the PRNG
+    key rides the scan carry, so sampled slots stop paying one host round
+    trip per token (~25 ms through the axon tunnel - round-2 VERDICT
+    item 8). The key is split once per step exactly like the unfused
+    engine loop, so fused and unfused paths emit IDENTICAL tokens from the
+    same starting key. Greedy slots (temp == 0) take argmax inside the
+    same program. Returns (tokens (B, steps), cache, last, pos, key)."""
+
+    def body(carry, _):
+        last, cache, pos, key = carry
+        logits, cache = decode_step(cfg, params, last[:, None], cache, pos)
+        key, sub = jax.random.split(key)
+        if use_topkp:
+            nxt = sample_tokens_topkp(logits, temps, top_ks, top_ps, sub)
+        else:
+            nxt = sample_tokens(logits, temps, sub)
+        return (nxt, cache, pos + 1, key), nxt
+
+    (last, cache, pos, key), toks = jax.lax.scan(
+        body, (last_token, cache, jnp.asarray(pos0, jnp.int32), key), None,
+        length=steps)
+    return jnp.transpose(toks), cache, last, pos, key
+
+
 def generate_fused(cfg: TransformerConfig, params, prompt: jnp.ndarray,
                    max_new_tokens: int,
                    max_len: Optional[int] = None) -> jnp.ndarray:
