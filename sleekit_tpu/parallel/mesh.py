@@ -179,15 +179,29 @@ def stats_specs(stats) -> Any:
 def kv_cache_specs(cache) -> Any:
     """KV cache ((B, KV, S, D) per layer, or stacked (L, B, KV, S, D),
     plus per-token scale planes when int8-quantized): batch over 'data',
-    kv heads over 'model'."""
+    kv heads over 'model'.
+
+    Paged pools (dict with a "page_table") shard the pool's KV-HEAD axis
+    over 'model' and replicate the page table: pages are shared by the
+    whole batch, so there is no batch axis to put on 'data' - data-
+    parallel paged serving replicates the ENGINE (pool included) per
+    replica, which is how continuous batching deploys across hosts."""
     def leaf_spec(x, stacked):
         lead = (None,) if stacked else ()
         # values are (..., B, KV, S, D); scale planes (..., B, KV, S)
         tail = (None, None) if x.ndim == len(lead) + 4 else (None,)
         return P(*lead, "data", "model", *tail)
 
-    if isinstance(cache, dict):  # stacked scan_layers layout
-        return {k: leaf_spec(v, True) for k, v in cache.items()}
+    if isinstance(cache, dict):
+        if "page_table" in cache:  # paged pool layout
+            def pool_spec(k, v):
+                if k == "page_table":
+                    return P()
+                # pools (L, P, KV, PS, D); scale planes (L, P, KV, PS)
+                tail = (None, None) if v.ndim == 5 else (None,)
+                return P(None, None, "model", *tail)
+            return {k: pool_spec(k, v) for k, v in cache.items()}
+        return {k: leaf_spec(v, True) for k, v in cache.items()}  # stacked
     return [{k: leaf_spec(v, False) for k, v in entry.items()}
             for entry in cache]
 

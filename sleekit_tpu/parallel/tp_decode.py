@@ -112,14 +112,29 @@ def _tp_block(cfg, lcfg, layer, x, entry, pos_vec, lidx, axis, slopes):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-    res = decode_attention(
-        q[:, 0], k[:, 0], v[:, 0], entry["k"], entry["v"], pos_vec, lidx,
-        scale=1.0 / math.sqrt(hd), alibi_slopes=slopes,
-        k_scale=entry.get("k_scale"), v_scale=entry.get("v_scale"))
+    paged = "page_table" in entry
+    common = dict(scale=1.0 / math.sqrt(hd), alibi_slopes=slopes,
+                  k_scale=entry.get("k_scale"),
+                  v_scale=entry.get("v_scale"))
+    if paged:
+        # Paged pool with the kv-head axis sharded over 'model': each
+        # shard runs the paged kernels on its local heads against the
+        # full (replicated) page table - same per-shard structure as the
+        # dense cache path (mesh.kv_cache_specs).
+        from sleekit_tpu.ops.paged_attention import paged_decode_attention
+        res = paged_decode_attention(
+            q[:, 0], k[:, 0], v[:, 0], entry["k"], entry["v"],
+            entry["page_table"], pos_vec, lidx, **common)
+    else:
+        res = decode_attention(
+            q[:, 0], k[:, 0], v[:, 0], entry["k"], entry["v"], pos_vec,
+            lidx, **common)
     attn = res[0].reshape(b, 1, lcfg.n_heads * hd)
     new_entry = {"k": res[1], "v": res[2]}
     if len(res) == 5:
         new_entry["k_scale"], new_entry["v_scale"] = res[3], res[4]
+    if paged:
+        new_entry["page_table"] = entry["page_table"]
 
     o_p, o_bias = _strip_row_bias(layer["attn"]["o"])
     attn = lax.psum(apply_linear(o_p, attn), axis)
@@ -343,6 +358,14 @@ def tp_decode_step(cfg: TransformerConfig, params, tokens, cache, pos,
             (x, entry), _ = lax.scan(
                 body, (x, dict(cache)),
                 (params["layers"], jnp.arange(cfg.n_layers)))
+            new_cache = entry
+        elif isinstance(cache, dict):
+            # Paged (or otherwise stacked) cache with an unrolled layer
+            # loop: the pools hold all layers; pass the layer index.
+            entry = dict(cache)
+            for i, layer in enumerate(params["layers"]):
+                x, entry = _tp_block(cfg, lcfg, layer, x, entry, pos_vec,
+                                     jnp.int32(i), axis, slopes)
             new_cache = entry
         else:
             new_cache = []

@@ -148,8 +148,14 @@ class Engine:
         self.mesh = mesh
         self._tp = mesh is not None and mesh.shape.get("model", 1) > 1
         if self._tp:
-            assert not paged, "paged KV + tensor parallelism not supported yet"
             assert max_slots % mesh.shape.get("data", 1) == 0
+            # Paged pools shard the kv-head axis over 'model' and have no
+            # batch axis to put on 'data'; data-parallel paged serving
+            # replicates the engine (pool included) per replica instead
+            # (mesh.kv_cache_specs).
+            assert not paged or mesh.shape.get("data", 1) == 1, (
+                "paged KV under TP requires a data=1 mesh; replicate the "
+                "engine per data shard instead")
         if paged:
             assert max_seq_len % page_size == 0
             self.page_size = page_size
