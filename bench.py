@@ -83,8 +83,13 @@ def main():
         log(f"  attention A/B: mode={_at.FLASH_MHA_MODE} "
             f"kv_chunk={_at.FLASH_KV_CHUNK}")
 
+    # BENCH_TEMP=0.7: decode via the fused SAMPLED scan (on-device
+    # categorical sampling, PRNG key in the scan carry) instead of greedy
+    # argmax - must stay within ~10% of greedy throughput.
+    temp = float(os.environ.get("BENCH_TEMP", "0"))
+
     from sleekit_tpu.codebooks import UniformCodebook
-    from sleekit_tpu.models.eval import decode_scan
+    from sleekit_tpu.models.eval import decode_scan, decode_scan_sampled
     from sleekit_tpu.models.fake_quant import random_packed_params
     from sleekit_tpu.models.transformer import (
         init_kv_cache, init_params, stack_layer_params)
@@ -113,20 +118,32 @@ def main():
     log(f"  host round-trip overhead: {overhead * 1e3:.1f} ms")
 
     first = jnp.zeros((batch,), jnp.int32)
+    if temp > 0:
+        temps = jnp.full((batch,), temp, jnp.float32)
+        zk = jnp.zeros((batch,), jnp.int32)
+        zp = jnp.ones((batch,), jnp.float32)
+
+        def scan_fn(cfg, params, cache, first, pos0, steps):
+            return decode_scan_sampled(
+                cfg, params, cache, first, pos0, steps, temps, zk, zp,
+                jax.random.PRNGKey(1), use_topkp=False)[:4]
+        log(f"  sampled decode (temperature={temp})")
+    else:
+        scan_fn = decode_scan
 
     def run_decode(params, tag, cache_dtype=jnp.bfloat16):
         cache = init_kv_cache(cfg, batch, ctx, dtype=cache_dtype)
         t0 = time.time()
-        toks, cache, last, pos = decode_scan(cfg, params, cache, first,
-                                             jnp.int32(0), steps)
+        toks, cache, last, pos = scan_fn(cfg, params, cache, first,
+                                         jnp.int32(0), steps)
         sync(toks)
         log(f"  {tag}: compile+first loop {time.time() - t0:.1f}s")
         best = float("inf")
         for _ in range(3):
             cache = init_kv_cache(cfg, batch, ctx, dtype=cache_dtype)
             t0 = time.time()
-            toks, cache, last, pos = decode_scan(cfg, params, cache, first,
-                                                 jnp.int32(0), steps)
+            toks, cache, last, pos = scan_fn(cfg, params, cache, first,
+                                             jnp.int32(0), steps)
             sync(toks)
             best = min(best, time.time() - t0 - overhead)
         tok_s = batch * steps / best

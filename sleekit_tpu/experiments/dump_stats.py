@@ -48,9 +48,15 @@ def main(argv=None):
 
     rng = np.random.RandomState(args.seed)
     if args.tokens:
-        stream = np.load(args.tokens).astype(np.int32)
+        # .npy / .skt shard / the literal 'wikitext2' (HF datasets +
+        # tokenizer, for the real-model reproduction runs).
+        from sleekit_tpu.models.data import load_token_stream
         n = args.samples * args.seq_len
-        stream = np.resize(stream, n)
+        stream, provenance = load_token_stream(
+            args.tokens, cfg.vocab_size, n, tokenizer_name=args.checkpoint,
+            seed=args.seed)
+        print(f"calibration tokens: {provenance}")
+        stream = np.resize(stream.astype(np.int32), n)
         tokens = stream.reshape(args.samples, args.seq_len)
     else:
         tokens = rng.randint(0, cfg.vocab_size,

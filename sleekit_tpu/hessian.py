@@ -221,10 +221,14 @@ def _tri_inv_lower(L: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
     ~1/nb of the monolithic solve, same total FLOPs.
     """
     n = L.shape[0]
-    if n % block != 0 or n <= block:
+    if n <= block:
         return jax.scipy.linalg.solve_triangular(
             L, jnp.eye(n, dtype=L.dtype), lower=True)
-    nb = n // block
+    # Ragged n (Llama2/Qwen FFN n=11008, ...) pads the LAST block's RHS
+    # columns with zeros - exact, solve(L, 0) == 0 and the pad columns are
+    # sliced off - instead of falling back to the monolithic ~9 GB solve
+    # (advisor round 2).
+    nb = -(-n // block)
     rows = jnp.arange(n)[:, None]
 
     def one(j):
@@ -233,7 +237,7 @@ def _tri_inv_lower(L: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
         return jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
 
     blocks = jax.lax.map(one, jnp.arange(nb))      # (nb, n, block)
-    return jnp.moveaxis(blocks, 0, 1).reshape(n, n)
+    return jnp.moveaxis(blocks, 0, 1).reshape(n, nb * block)[:, :n]
 
 
 def hessian_inv_chol(H: jnp.ndarray) -> jnp.ndarray:

@@ -97,7 +97,10 @@ def random_packed_params(cfg: TransformerConfig, key,
     # for 8B-class models on one v5e chip). The quantizable linears are
     # constructed as PackedLinears directly (numpy random bits) - the
     # dense kernels never exist anywhere. Only the packed result ships.
-    cpu = jax.devices("cpu")[0]
+    # local_devices, not devices: in multi-process runs jax.devices() is
+    # the GLOBAL list and pinning host-side work to another process's
+    # device makes every produced array non-addressable.
+    cpu = jax.local_devices(backend="cpu")[0]
     nprng = np.random.RandomState(
         int(jax.random.randint(key, (), 0, 2 ** 31 - 1)))
     use_bias = cfg.norm == "layernorm"
@@ -117,5 +120,5 @@ def random_packed_params(cfg: TransformerConfig, key,
     if jax.default_backend() != "cpu":
         # Explicit target: device_put(tree) with device=None would leave
         # the CPU-committed arrays where they are.
-        params = jax.device_put(params, jax.devices()[0])
+        params = jax.device_put(params, jax.local_devices()[0])
     return params, codebook

@@ -310,9 +310,9 @@ def pack_lm_head(cfg: TransformerConfig, params, nbits: int = 8):
     target = None
     if jax.default_backend() != "cpu":
         target = (W.devices().pop() if getattr(W, "devices", None)
-                  else jax.devices()[0])
+                  else jax.local_devices()[0])
         W = jax.device_get(W)
-    with jax.default_device(jax.devices("cpu")[0]):
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
         W = jnp.asarray(W, jnp.float32)
         cb = UniformCodebook(2 ** nbits, -1.0, 1.0)
         scale = compute_non_saturating_scaling(W, cb)   # per vocab channel

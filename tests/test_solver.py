@@ -50,6 +50,23 @@ def test_hessian_inv_chol_identity():
     assert np.allclose(U, np.eye(8), atol=1e-5)
 
 
+def test_tri_inv_blocked_ragged_sizes():
+    """The blocked triangular inverse must stay blocked (not fall back to
+    the ~9 GB monolithic solve) for n NOT a multiple of the block - e.g.
+    Llama2/Qwen FFN n=11008 - and stay exact (advisor round 2)."""
+    import jax
+    from sleekit_tpu.hessian import _tri_inv_lower
+
+    rng = np.random.RandomState(5)
+    for n, block in ((48, 32), (96, 32), (100, 32), (130, 64)):
+        a = rng.randn(n, n).astype(np.float32)
+        L = np.linalg.cholesky(a @ a.T / n + np.eye(n, dtype=np.float32))
+        got = np.asarray(_tri_inv_lower(jnp.asarray(L), block=block))
+        want = np.asarray(jax.scipy.linalg.solve_triangular(
+            jnp.asarray(L), jnp.eye(n), lower=True))
+        assert np.allclose(got, want, atol=1e-5), (n, block)
+
+
 def test_hessian_inv_chol_vs_gptq():
     """Equivalent to GPTQ's cholesky(inv(H), upper) (ref tests/test_obq.py:21-32)."""
     H = random_psd(32, 64, damp=1e-3, seed=1)

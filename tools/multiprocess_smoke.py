@@ -1,0 +1,142 @@
+"""Two-process GSPMD smoke test (CPU, gloo collectives).
+
+The multi-host path (parallel/distributed.py) finally gets exercised as
+REAL multi-process SPMD, not just a virtual single-process mesh: two OS
+processes, each owning 2 virtual CPU devices, join one jax.distributed
+cluster (coordinator on localhost - the DCN stand-in) and run
+
+  1. DP-sharded calibration: the batch shards over the cross-process
+     'data' axis; GSPMD inserts the Hessian/mean psum over DCN; the
+     replicated result must equal the single-process NumPy oracle.
+  2. shard_map tensor-parallel packed decode: 'model' axis within each
+     process (ICI stand-in), 'data' across processes; each process
+     checks its addressable logit rows against the full single-device
+     oracle it computes locally from the same seed.
+
+Run via tools/multiprocess_smoke.sh (launches both ranks and checks
+both report OK). Match: SURVEY.md §5.8, round-2 VERDICT item 10.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--procs", type=int, default=2)
+    parser.add_argument("--proc-id", type=int, required=True)
+    parser.add_argument("--port", type=int, default=12355)
+    args = parser.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sleekit_tpu.parallel.distributed import (global_mesh,
+                                                  initialize_multihost)
+
+    initialize_multihost(f"localhost:{args.port}", args.procs, args.proc_id)
+    assert jax.device_count() == 2 * args.procs, jax.devices()
+    assert jax.process_count() == args.procs
+
+    from sleekit_tpu.codebooks import UniformCodebook
+    from sleekit_tpu.models.fake_quant import random_packed_params
+    from sleekit_tpu.models.quantize import pack_lm_head
+    from sleekit_tpu.models.transformer import (
+        calibrate_step, decode_step, init_calibration_stats, init_kv_cache,
+        init_params)
+    from sleekit_tpu.parallel.mesh import (
+        kv_cache_specs, param_specs, prepare_params_for_tp, shard_pytree,
+        stats_specs)
+    from sleekit_tpu.parallel.tp_decode import tp_decode_step
+    from sleekit_tpu.models.zoo import tiny_test
+
+    mesh = global_mesh(model_parallel=2)
+    assert mesh.shape["data"] == args.procs and mesh.shape["model"] == 2
+
+    cfg = tiny_test(d_model=64, n_heads=4, n_layers=2, d_ff=128,
+                    vocab_size=256)
+    key = jax.random.PRNGKey(0)
+
+    # Host-side work happens OUTSIDE the mesh context: under an active
+    # multi-process mesh, array creation commits to the GLOBAL mesh and
+    # any np.asarray fetch (host-side packing, oracle comparison) raises
+    # "spans non-addressable devices".
+    qparams, _ = random_packed_params(cfg, key,
+                                      UniformCodebook(16, -1.0, 1.0))
+    qparams = pack_lm_head(cfg, qparams, nbits=8)
+    tp_params = prepare_params_for_tp(cfg, qparams, 2)
+
+    # ---- phase 1: DP calibration, psum over the cross-process axis ----
+    batch, seq = 2 * args.procs, 16
+    all_tokens = np.random.RandomState(0).randint(
+        0, cfg.vocab_size, (batch, seq)).astype(np.int32)
+    tok_sharding = NamedSharding(mesh, P("data", None))
+    local_rows = all_tokens[args.proc_id * 2:(args.proc_id + 1) * 2]
+    tokens = jax.make_array_from_process_local_data(
+        tok_sharding, local_rows, all_tokens.shape)
+
+    with mesh:
+        params = init_params(cfg, key)
+        params = shard_pytree(params, param_specs(cfg, params), mesh)
+        stats = init_calibration_stats(cfg)
+        stats = shard_pytree(stats, stats_specs(stats), mesh)
+        stats = calibrate_step(cfg, params, tokens, stats)
+        jax.block_until_ready(stats)
+
+        # Serial oracle on the full batch, single local device.
+        oracle_params = init_params(cfg, key)
+        oracle = init_calibration_stats(cfg)
+        oracle = calibrate_step(cfg, oracle_params, jnp.asarray(all_tokens),
+                                oracle)
+        got = np.asarray(stats["layers.0.q"].hessian.addressable_data(0))
+        want = np.asarray(oracle["layers.0.q"].hessian)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        print(f"[rank {args.proc_id}] DP calibration psum OK "
+              f"(count={int(stats['layers.0.q'].count.addressable_data(0))})",
+              flush=True)
+
+        # ---- phase 2: shard_map TP packed decode across the mesh ----
+        tp_sharded = shard_pytree(tp_params, param_specs(cfg, tp_params),
+                                  mesh)
+        cache = init_kv_cache(cfg, batch, 32)
+        cache = shard_pytree(cache, kv_cache_specs(cache), mesh)
+        step_tokens = jax.make_array_from_process_local_data(
+            tok_sharding, local_rows[:, :1], (batch, 1))
+        logits, cache = tp_decode_step(cfg, tp_sharded, step_tokens, cache,
+                                       jnp.int32(0), mesh)
+        jax.block_until_ready(logits)
+        local = np.asarray(logits.addressable_data(0))
+
+    # Single-device oracle (same seed -> same params on every rank),
+    # outside the mesh context so its logits are fully local.
+    ref_cache = init_kv_cache(cfg, batch, 32)
+    ref_logits, _ = jax.jit(decode_step, static_argnums=(0,))(
+        cfg, qparams, jnp.asarray(all_tokens[:, :1]), ref_cache,
+        jnp.int32(0))
+    ref_rows = np.asarray(ref_logits)[args.proc_id * 2:
+                                      (args.proc_id + 1) * 2]
+    np.testing.assert_allclose(local, ref_rows, rtol=2e-4, atol=2e-4)
+    assert local.shape[-1] == cfg.vocab_size
+    print(f"[rank {args.proc_id}] TP packed decode OK "
+          f"(argmax match "
+          f"{np.mean(local.argmax(-1) == ref_rows.argmax(-1)):.2f})",
+          flush=True)
+
+    print(f"[rank {args.proc_id}] MULTIPROCESS SMOKE OK", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
