@@ -129,20 +129,24 @@ def main(argv=None):
             order = sorted(stats, key=lambda n: -stats[n].hessian.nbytes)
             shed = []
             max_shed = 0
+            for name in order:
+                # During the solve loop up to TWO shed entries are
+                # transiently back on device (current layer + the
+                # prefetched next one); budget for them on top of the
+                # steady state or large models re-trigger
+                # RESOURCE_EXHAUSTED (advisor round 2).
+                if need + 2 * max_shed <= budget:
+                    break
+                entry_bytes = _tree_bytes(stats[name])
+                need -= entry_bytes
+                max_shed = max(max_shed, entry_bytes)
+                shed.append(name)
             with timer.section("stats_offload"):
-                for name in order:
-                    # During the solve loop up to TWO shed entries are
-                    # transiently back on device (current layer + the
-                    # prefetched next one); budget for them on top of the
-                    # steady state or large models re-trigger
-                    # RESOURCE_EXHAUSTED (advisor round 2).
-                    if need + 2 * max_shed <= budget:
-                        break
-                    entry_bytes = _tree_bytes(stats[name])
-                    stats[name] = jax.device_get(stats[name])
-                    need -= entry_bytes
-                    max_shed = max(max_shed, entry_bytes)
-                    shed.append(name)
+                # ONE batched device_get: per-entry fetches serialize
+                # D2H through the axon tunnel (~175 s for 1.8 GB in the
+                # round-3 light run vs ~55 s transfer-bound).
+                fetched = jax.device_get({n: stats[n] for n in shed})
+                stats.update(fetched)
             print(f"selective offload: {len(shed)}/{len(stats)} stats "
                   f"entries to host; {need / 1e9:.2f} GB stay on-device "
                   f"(HBM {limit / 1e9:.2f} GB)", flush=True)

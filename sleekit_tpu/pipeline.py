@@ -60,6 +60,10 @@ class QuantConfig:
     min_factor: float = 0.05
     max_factor: float = 1.0
     block_size: int = 128
+    # >0: coarse-then-fine OBQ-aware scaling search (2*obq_refine GPTQ
+    # sweeps instead of grid_size; scaling.compute_obq_scaling). 0 keeps
+    # the reference-exact flat grid.
+    obq_refine: int = 0
 
     def resolved_codebook_size(self) -> int:
         if self.codebook_size is not None:
@@ -137,7 +141,8 @@ def quantize_layer(
     scale = compute_scaling(
         W, cb, H, mode=config.scaling_mode,
         grid_size=config.grid_size, min_factor=config.min_factor,
-        max_factor=config.max_factor, block_size=config.block_size)
+        max_factor=config.max_factor, block_size=config.block_size,
+        obq_refine=config.obq_refine)
     Q = quantize_with_scaling(
         W, scale, cb, H=H, act_order=config.order_mode,
         damp=config.damp, nb_ls_moves=config.nb_ls_moves,

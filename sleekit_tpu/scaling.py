@@ -171,10 +171,26 @@ def compute_obq_scaling(
     max_factor: float = 1.0,
     grid_size: int = 100,
     block_size: int = 128,
+    refine: int = 0,
 ) -> jnp.ndarray:
     """The 'exhaustive' scaling: score every grid factor by a full blocked
     GPTQ sweep (ref scaling.py:137-190). Ordering and the inverse-Hessian
-    Cholesky are hoisted out of the grid loop (ref scaling.py:166-174)."""
+    Cholesky are hoisted out of the grid loop (ref scaling.py:166-174).
+
+    ``refine > 0`` switches to the coarse-then-fine search (SURVEY.md §7
+    hard-part 2): a coarse grid of ``refine`` factors over the full range,
+    then ``refine`` more PER-CHANNEL factors spanning +-1 coarse step
+    around each channel's winner - 2*refine sweeps instead of grid_size.
+    Per-channel vector evaluation is free because GPTQ rows are
+    independent (each output channel solves at its own scale inside one
+    sweep). CAVEAT: the per-factor objective is rough (discrete GPTQ
+    decisions), so the coarse stage can miss the flat grid's basin -
+    measured within ~5% of the flat-grid error either way at refine=16
+    (tests/test_scaling.py). On TPU the flat grid is NOT the wall-clock
+    bottleneck (the vmapped batched solves absorb it; transfers dominate
+    - round-3 journal), so the default (0) keeps the reference-exact
+    flat grid; refine is for CPU-bound experiment sweeps.
+    """
     W = _move_axis_first(data, axis).astype(jnp.float32)
     initial_scale = compute_non_saturating_scaling(W, codebook, 0)
 
@@ -185,15 +201,32 @@ def compute_obq_scaling(
     Hperm = H[order][:, order]
     Hinv = hessian_inv_chol(H_opt[order][:, order])
 
-    factors = jnp.linspace(min_factor, max_factor, grid_size, dtype=jnp.float32)
-
     def eval_factor(s):
         scale = s * initial_scale
         Qs = gptq_sweep(Wp / scale[:, None], Hinv, codebook, block_size=block_size)
         Q = Qs * scale[:, None]
         return _weighted_mse(Hperm, Q - Wp)
 
-    best = _grid_argmin(factors, eval_factor, W.shape[0])
+    m = W.shape[0]
+    if refine > 0:
+        coarse = jnp.linspace(min_factor, max_factor, refine,
+                              dtype=jnp.float32)
+        center = _grid_argmin(coarse, eval_factor, m)       # (m,)
+        step = (max_factor - min_factor) / max(refine - 1, 1)
+        offsets = jnp.linspace(-step, step, refine, dtype=jnp.float32)
+        fine = jnp.clip(center[None, :] + offsets[:, None],
+                        min_factor, max_factor)             # (refine, m)
+        best = _grid_argmin(fine, eval_factor, m)
+        # The coarse winner is a member of the fine grid (offset 0 when
+        # refine is odd) only approximately after clipping; keep whichever
+        # of (coarse winner, fine winner) scores lower per channel.
+        e_center = eval_factor(center)
+        e_best = eval_factor(best)
+        best = jnp.where(e_center < e_best, center, best)
+        return initial_scale * best
+
+    factors = jnp.linspace(min_factor, max_factor, grid_size, dtype=jnp.float32)
+    best = _grid_argmin(factors, eval_factor, m)
     return initial_scale * best
 
 
@@ -212,6 +245,7 @@ def compute_scaling(
     obq_damp: float = 0.01,
     obq_act_order: str = "diag",
     block_size: int = 128,
+    obq_refine: int = 0,
 ) -> jnp.ndarray:
     """Mode-string dispatch with the reference's suffix semantics:
     ``diag[P]`` / ``hessian[P]`` add P% extra dampening before the grid
@@ -224,7 +258,7 @@ def compute_scaling(
         return compute_obq_scaling(
             data, codebook, axis, H=H, damp=obq_damp, act_order=obq_act_order,
             grid_size=grid_size, min_factor=min_factor, max_factor=max_factor,
-            block_size=block_size)
+            block_size=block_size, refine=obq_refine)
     if mode == "mse":
         H = None
     elif mode.startswith("hessian"):

@@ -119,6 +119,28 @@ def test_scaling_quality_ladder():
     assert err_obq <= err_hessian * 1.001
 
 
+def test_obq_refine_matches_flat_grid_quality():
+    """Coarse-then-fine OBQ scaling (2*refine sweeps) lands within a few
+    % of the flat 100-point grid's error (the discrete objective makes
+    either side win by small margins - see compute_obq_scaling docstring)
+    and stays below the hessian-scaling error (the quality ladder
+    holds)."""
+    size = 96
+    data = jnp.asarray(np.random.RandomState(11).randn(24, size), jnp.float32)
+    cb = UniformCodebook(8, -1.0, 1.0)
+    H = jnp.asarray(random_psd(size, 48, damp=1e-4, seed=12))
+    sc_flat = compute_obq_scaling(data, cb, 0, H=H, grid_size=100)
+    sc_fast = compute_obq_scaling(data, cb, 0, H=H, refine=16)
+    q_flat = quantize_with_scaling(data, sc_flat, cb, H=H)
+    q_fast = quantize_with_scaling(data, sc_fast, cb, H=H)
+    e_flat = float(quantization_error(q_flat, data, H))
+    e_fast = float(quantization_error(q_fast, data, H))
+    assert e_fast <= e_flat * 1.06, (e_flat, e_fast)
+    sc_h = compute_min_mse_scaling(data, cb, 0, H=H)
+    q_h = quantize_with_scaling(data, sc_h, cb, H=H)
+    assert e_fast <= float(quantization_error(q_h, data, H)) * 1.001
+
+
 def test_scaling_mode_dispatch():
     """Every mode string incl. damp suffixes (ref tests/test_scaling.py:152-165)."""
     size = 20
