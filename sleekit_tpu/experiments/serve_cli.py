@@ -28,7 +28,20 @@ def main(argv=None):
     parser.add_argument("--slots", type=int, default=8)
     parser.add_argument("--max-seq-len", type=int, default=512)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--kv", type=str, default="f32",
+                        choices=["f32", "bf16", "int8"],
+                        help="KV-cache dtype (int8 = per-token scales)")
+    parser.add_argument("--paged", action="store_true",
+                        help="paged KV pool instead of dense slot cache")
+    parser.add_argument("--page-size", type=int, default=64)
+    parser.add_argument("--total-pages", type=int, default=None)
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel ways over a ('data','model')"
+                             " mesh; params must NOT be pre-split "
+                             "(prepare_params_for_tp runs here)")
     args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
 
     from sleekit_tpu.models.zoo import get_config
     from sleekit_tpu.serve.checkpoint import load_packed_params
@@ -37,6 +50,13 @@ def main(argv=None):
     cfg = get_config(args.model)
     params, meta = load_packed_params(args.ckpt)
     print(f"loaded {args.ckpt} (meta: {meta})")
+
+    mesh = None
+    if args.tp > 1:
+        from sleekit_tpu.parallel.mesh import make_mesh, prepare_params_for_tp
+        params = prepare_params_for_tp(cfg, params, args.tp)
+        mesh = make_mesh(data=1, model=args.tp)
+        print(f"tensor-parallel over {args.tp} devices")
 
     rng = np.random.RandomState(args.seed)
     if args.prompts:
@@ -48,8 +68,13 @@ def main(argv=None):
                                (args.prompt_len,)).astype(np.int32)
                    for _ in range(n)]
 
+    cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                   "int8": jnp.int8}[args.kv]
     engine = Engine(cfg, params, max_slots=args.slots,
-                    max_seq_len=args.max_seq_len, seed=args.seed)
+                    max_seq_len=args.max_seq_len, seed=args.seed,
+                    cache_dtype=cache_dtype, paged=args.paged,
+                    page_size=args.page_size, total_pages=args.total_pages,
+                    mesh=mesh)
     reqs = [Request(prompt=p, max_new_tokens=args.max_new_tokens,
                     temperature=args.temperature) for p in prompts]
     t0 = time.time()
