@@ -143,12 +143,24 @@ def main(argv=None):
 
     # --- only the six linears per layer (weights streaming) -----------
     if "linears_only" in variants:
+        from sleekit_tpu.models.transformer import (
+            _merge_stacked_packed, _split_stacked_packed)
+
         @jax.jit
         def run_linears(params):
             x0 = jnp.ones((b, 1, cfg.d_model), cfg.dtype)
+            # Zero-copy layer addressing exactly like the serving scan:
+            # big packed tensors stay OUT of the scan xs (layer_sel);
+            # scanning them as xs would copy the whole packed model
+            # HBM->HBM per step and overstate the weight stream (this
+            # variant measured 8.19 ms vs full 6.30 ms on Llama3-8B
+            # before the fix).
+            bigs, rest = _split_stacked_packed(params["layers"])
 
             def step_body(x, _):
-                def layer_body(x, layer):
+                def layer_body(x, inp):
+                    layer_rest, lidx = inp
+                    layer = _merge_stacked_packed(bigs, layer_rest, lidx)
                     a = layer["attn"]
                     m = layer["mlp"]
                     if "qkv" in a:  # serving-time fused projections
@@ -170,7 +182,8 @@ def main(argv=None):
                         g = apply_linear(m["fc1"], h)
                         h = apply_linear(m["fc2"], g)
                     return x + 1e-6 * h, None
-                x, _ = jax.lax.scan(layer_body, x, params["layers"])
+                x, _ = jax.lax.scan(layer_body, x,
+                                    (rest, jnp.arange(cfg.n_layers)))
                 return x, jnp.sum(x.astype(jnp.float32))
             _, outs = jax.lax.scan(step_body, x0, None, length=steps)
             return outs
