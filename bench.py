@@ -76,12 +76,14 @@ def main():
         log("  GLUE_FUSE disabled (A/B)")
     if os.environ.get("BENCH_ATTN") or os.environ.get("BENCH_KV_CHUNK"):
         import sleekit_tpu.ops.attention as _at
-        if os.environ.get("BENCH_ATTN"):
+        if os.environ.get("BENCH_ATTN") == "bfold":
+            _at.FLASH_BATCH_FOLD = True
+        elif os.environ.get("BENCH_ATTN"):
             _at.FLASH_MHA_MODE = os.environ["BENCH_ATTN"]
         if os.environ.get("BENCH_KV_CHUNK"):
             _at.FLASH_KV_CHUNK = int(os.environ["BENCH_KV_CHUNK"])
         log(f"  attention A/B: mode={_at.FLASH_MHA_MODE} "
-            f"kv_chunk={_at.FLASH_KV_CHUNK}")
+            f"bfold={_at.FLASH_BATCH_FOLD} kv_chunk={_at.FLASH_KV_CHUNK}")
 
     # BENCH_TEMP=0.7: decode via the fused SAMPLED scan (on-device
     # categorical sampling, PRNG key in the scan carry) instead of greedy

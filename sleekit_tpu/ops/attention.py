@@ -397,6 +397,87 @@ def _decode_kernel_ew(pos_ref, layer_ref, q_ref, k_ref, v_ref, slopes_ref,
         o_ref[0] = out.reshape(kv, 1, D_).astype(o_ref.dtype)
 
 
+def _decode_kernel_bfold(pos_ref, layer_ref, q_ref, k_ref, v_ref,
+                         slopes_ref, ks_ref, vs_ref, o_ref, acc_ref,
+                         m_ref, l_ref, *, scale, kv, groups, s_blk, batch):
+    """Batch-folded one-big-dot flash decode: ALL batch rows in one
+    program per (kv-chunk, s-block) grid step, unrolled in-kernel.
+
+    The (B, chunk, s-block) grid pays one program launch per batch row
+    per layer (~384 launches/step on OPT-1.3B batch 8 - the round-3
+    profile puts attention+append at 0.81 ms vs a 0.37 ms KV-stream
+    bound, and launch overhead is the gap). Folding B into the block
+    spec moves the whole layer's flash decode into ONE program per
+    s-block; the per-row math is identical to :func:`_decode_kernel`
+    and the VMEM block (B x kvc x s_blk x D int8 ~ 4 MB) double-buffers
+    comfortably.
+    """
+    ns = pl.program_id(1)
+    n_s = pl.num_programs(1)
+    del layer_ref
+    rows, cols = kv * groups, kv * s_blk
+
+    @pl.when(ns == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    D_ = q_ref.shape[-1]
+    cdt = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    row_h = lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // groups
+    col_h = lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // s_blk
+    col_s = (lax.broadcasted_iota(jnp.int32, (rows, cols), 1) % s_blk
+             + ns * s_blk)
+    kv_iota = lax.broadcasted_iota(jnp.int32, (kv, 1), 0)
+
+    def lane_vec(t):
+        rows_ = [jnp.sum(jnp.where(kv_iota == i, t, 0.0), axis=0,
+                         keepdims=True) for i in range(kv)]
+        return jnp.concatenate(rows_, axis=1)            # (1, KV*SB)
+
+    for b in range(batch):
+        r0 = b * rows
+        qf = q_ref[b].reshape(rows, D_)
+        k = k_ref[0, b].reshape(cols, D_)
+        logits = lax.dot_general(qf.astype(cdt), k.astype(cdt),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        if ks_ref is not None:
+            logits = logits * lane_vec(ks_ref[0, b])
+        p = pos_ref[b]
+        if slopes_ref is not None:
+            slope = slopes_ref[...].astype(jnp.float32)  # (rows, 1)
+            logits = logits + slope * (col_s - p).astype(jnp.float32)
+        mask = (row_h == col_h) & (col_s <= p)
+        logits = jnp.where(mask, logits, -jnp.inf)
+
+        m_blk = jnp.max(logits, axis=-1, keepdims=True)
+        m_prev = m_ref[r0:r0 + rows, :1]
+        m_new = jnp.maximum(m_prev, m_blk)
+        alpha = jnp.exp(m_prev - m_new)
+        p_exp = jnp.exp(logits - m_new)
+        l_new = (l_ref[r0:r0 + rows, :1] * alpha
+                 + jnp.sum(p_exp, axis=-1, keepdims=True))
+        v = v_ref[0, b].reshape(cols, D_)
+        if vs_ref is not None:
+            p_exp = p_exp * lane_vec(vs_ref[0, b])
+        pv = jnp.dot(p_exp.astype(cdt), v.astype(cdt),
+                     preferred_element_type=jnp.float32)
+        acc_ref[r0:r0 + rows, :] = acc_ref[r0:r0 + rows, :] * alpha + pv
+        m_ref[r0:r0 + rows, :] = jnp.broadcast_to(
+            m_new, (rows, m_ref.shape[1]))
+        l_ref[r0:r0 + rows, :] = jnp.broadcast_to(
+            l_new, (rows, l_ref.shape[1]))
+
+    @pl.when(ns == n_s - 1)
+    def _():
+        for b in range(batch):
+            r0 = b * rows
+            out = acc_ref[r0:r0 + rows, :] / l_ref[r0:r0 + rows, :1]
+            o_ref[b] = out.reshape(kv, groups, D_).astype(o_ref.dtype)
+
+
 # KV heads folded per flash-decode program; None = fold ALL heads into
 # one dot per (batch, s-block) program. Folding inflates the logits
 # matrix (and the VPU softmax/mask passes over it) by the fold factor,
@@ -407,13 +488,21 @@ def _decode_kernel_ew(pos_ref, layer_ref, q_ref, k_ref, v_ref, slopes_ref,
 FLASH_KV_CHUNK = None
 
 # MHA (G == 1) decode path: 'dot' = one-big-dot MXU kernel,
-# 'ew' = elementwise kernel (_decode_kernel_ew). Swept on the full bench.
+# 'ew' = elementwise kernel (_decode_kernel_ew). Swept on the full bench
+# round 3: ew LOSES 2x (4.01 vs 2.09 ms/step - the VPU q*k multiplies
+# replace one MXU dot); 'dot' stays the default.
 FLASH_MHA_MODE = "dot"
+
+# Fold ALL batch rows into one program per (chunk, s-block) grid step
+# (_decode_kernel_bfold) instead of a (B, ...) grid - cuts flash-decode
+# program launches by B per layer. Swept on the full bench (BENCH_ATTN=
+# bfold).
+FLASH_BATCH_FOLD = False
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_s",
                                              "kv_chunk", "interpret",
-                                             "mha_mode"))
+                                             "mha_mode", "batch_fold"))
 def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
                         scale: float,
                         alibi_slopes: Optional[jnp.ndarray] = None,
@@ -421,7 +510,8 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
                         block_s: int = 256,
                         kv_chunk: Optional[int] = None,
                         interpret: bool = False,
-                        mha_mode: Optional[str] = None):
+                        mha_mode: Optional[str] = None,
+                        batch_fold: Optional[bool] = None):
     """Masked decode attention out = softmax(q K^T / sqrt(D)) V.
 
     q: (B, H, D); cache: (L, B, KV, S, D); pos: (B,) int32 - the highest
@@ -482,6 +572,8 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
         args += [k_scale, v_scale]
 
     use_ew = G == 1 and (mha_mode or FLASH_MHA_MODE) == "ew"
+    use_bfold = (batch_fold if batch_fold is not None
+                 else FLASH_BATCH_FOLD) and not use_ew
 
     def kernel(pr, lr, qr, kr, vr, *rest):
         i = 0
@@ -490,25 +582,63 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
         ks = rest[i] if has_scales else None
         vs = rest[i + 1] if has_scales else None
         i += 2 * int(has_scales)
-        if use_ew:
+        if use_bfold:
+            _decode_kernel_bfold(pr, lr, qr, kr, vr, slopes, ks, vs,
+                                 *rest[i:], scale=scale, kv=kvc, groups=G,
+                                 s_blk=s_blk, batch=B)
+        elif use_ew:
             _decode_kernel_ew(pr, lr, qr, kr, vr, slopes, ks, vs,
                               *rest[i:], scale=scale, kv=kvc, s_blk=s_blk)
         else:
             _decode_kernel(pr, lr, qr, kr, vr, slopes, ks, vs, *rest[i:],
                            scale=scale, kv=kvc, groups=G, s_blk=s_blk)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, n_c, n_s),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, kvc, G, D), q_map,
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((rows, D), jnp.float32),    # acc
-            pltpu.VMEM((rows, 128), jnp.float32),  # running max
-            pltpu.VMEM((rows, 128), jnp.float32),  # running denom
-        ],
-    )
+    if use_bfold:
+        # One program per (chunk, s-block): the whole batch rides in the
+        # block specs; the kernel unrolls over B.
+        bf_cache = pl.BlockSpec((1, B, kvc, s_blk, D),
+                                lambda c, ns, p, l: (l[0], 0, c, ns, 0),
+                                memory_space=pltpu.VMEM)
+        bf_specs = [
+            pl.BlockSpec((B, kvc, G, D), lambda c, ns, p, l: (0, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bf_cache, bf_cache,
+        ]
+        if has_slopes:
+            bf_specs.append(pl.BlockSpec(
+                (rows, 1), lambda c, ns, p, l: (c, 0),
+                memory_space=pltpu.VMEM))
+        if has_scales:
+            bfs = pl.BlockSpec((1, B, kvc, s_blk),
+                               lambda c, ns, p, l: (l[0], 0, c, ns),
+                               memory_space=pltpu.VMEM)
+            bf_specs += [bfs, bfs]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_c, n_s),
+            in_specs=bf_specs,
+            out_specs=pl.BlockSpec((B, kvc, G, D),
+                                   lambda c, ns, p, l: (0, c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((B * rows, D), jnp.float32),
+                pltpu.VMEM((B * rows, 128), jnp.float32),
+                pltpu.VMEM((B * rows, 128), jnp.float32),
+            ],
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, n_c, n_s),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, kvc, G, D), q_map,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((rows, D), jnp.float32),    # acc
+                pltpu.VMEM((rows, 128), jnp.float32),  # running max
+                pltpu.VMEM((rows, 128), jnp.float32),  # running denom
+            ],
+        )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -58,6 +58,37 @@ def test_flash_decode_matches_oracle(G, alibi):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("G", [1, 3])
+@pytest.mark.parametrize("alibi", [False, True])
+@pytest.mark.parametrize("quant", [False, True])
+def test_flash_decode_batch_fold_matches_oracle(G, alibi, quant):
+    """Batch-folded kernel (one program per s-block, in-kernel unroll
+    over B) == XLA oracle, incl. GQA, ALiBi, int8 scales and multi-block
+    online softmax."""
+    from sleekit_tpu.ops.attention import _quant_rows
+
+    ck, cv, kn, vn, q, pos = _setup(G=G)
+    layer = jnp.int32(2)
+    H = q.shape[1]
+    slopes = jnp.linspace(0.05, 0.9, H) if alibi else None
+    scale = 1.0 / np.sqrt(ck.shape[-1])
+    ks = vs = None
+    if quant:
+        ckf = np.asarray(ck, np.float32)
+        cvf = np.asarray(cv, np.float32)
+        ckq, kss = _quant_rows(jnp.asarray(ckf))
+        cvq, vss = _quant_rows(jnp.asarray(cvf))
+        ck, cv = ckq, cvq
+        ks, vs = kss[..., 0], vss[..., 0]
+    o1 = flash_decode_xla(q, ck, cv, pos, layer, scale, alibi_slopes=slopes,
+                          k_scale=ks, v_scale=vs)
+    o2 = flash_decode_pallas(q, ck, cv, pos, layer, scale,
+                             alibi_slopes=slopes, k_scale=ks, v_scale=vs,
+                             block_s=8, interpret=True, batch_fold=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_decode_attention_paths_agree():
     ck, cv, kn, vn, q, pos = _setup()
     layer = jnp.int32(0)
