@@ -137,7 +137,10 @@ def main(argv=None):
             return outs
 
         def go():
-            cache = init_kv_cache(cfg, b, ctx, dtype=jnp.bfloat16)
+            # Same cache dtype as the full variant (a hardcoded bf16
+            # cache made this variant SLOWER than full under int8 KV -
+            # round-3 Llama profile).
+            cache = init_kv_cache(cfg, b, ctx, dtype=kv_dtype)
             return run_no_unembed(params, cache)
         results["no_unembed"] = timed(go, tag="no unembed")
 
