@@ -30,6 +30,10 @@ def main(argv=None):
     parser.add_argument("--codebook", type=str, default="uniform",
                         choices=["uniform", "nf4", "lloyd"])
     parser.add_argument("--grid-size", type=int, default=100)
+    parser.add_argument("--obq-refine", type=int, default=0,
+                        help="coarse-then-fine OBQ scaling: 2N sweeps "
+                             "instead of grid-size (heavy preset only; "
+                             "see scaling.compute_obq_scaling caveats)")
     parser.add_argument("--tokens", type=str, default=None,
                         help=".npy int32 token stream, or 'wikitext2' "
                              "(needs HF datasets+tokenizer); default synthetic")
@@ -89,7 +93,8 @@ def main(argv=None):
 
     qconfig = preset_config(args.preset, nbits=args.nbits,
                             codebook_kind=args.codebook,
-                            grid_size=args.grid_size)
+                            grid_size=args.grid_size,
+                            obq_refine=args.obq_refine)
     timer = Timer()
     with timer.section("calibrate"):
         stats = calibrate(cfg, params, batches)
