@@ -574,6 +574,18 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
     use_ew = G == 1 and (mha_mode or FLASH_MHA_MODE) == "ew"
     use_bfold = (batch_fold if batch_fold is not None
                  else FLASH_BATCH_FOLD) and not use_ew
+    if use_bfold:
+        # The folded cache block is (B, kvc, s_blk, D) x {k, v} x double
+        # buffering and must fit the ~16 MB scoped-VMEM stack (measured
+        # OOM at 20.3 MB with s_blk=256 int8 on v5e); shrink the s-block
+        # until it fits a 12 MB budget - fewer rows per program, still
+        # B x fewer launches than the per-row grid.
+        per_s = B * kvc * D * cache_k.dtype.itemsize * 2 * 2
+        while s_blk > 64 and per_s * s_blk > 12 * 1024 * 1024:
+            s_blk //= 2
+        while S % s_blk:
+            s_blk //= 2
+        n_s = S // s_blk
 
     def kernel(pr, lr, qr, kr, vr, *rest):
         i = 0
