@@ -103,11 +103,12 @@ def random_packed_params(cfg: TransformerConfig, key,
     cpu = jax.local_devices(backend="cpu")[0]
     nprng = np.random.RandomState(
         int(jax.random.randint(key, (), 0, 2 ** 31 - 1)))
-    use_bias = cfg.norm == "layernorm"
 
     def factory(k, d_in, d_out, dtype, bias=True):
+        # init_params already resolves per-linear bias policy (incl.
+        # qkv_bias models like Qwen2); honor it as passed.
         return _fast_packed_linear(nprng, d_in, d_out, codebook,
-                                   bias=bias and use_bias, layout=layout)
+                                   bias=bias, layout=layout)
 
     with jax.default_device(cpu):
         params = init_params(cfg, key, linear_factory=factory)

@@ -175,6 +175,9 @@ _CONVERTERS = {
     "opt": convert_opt,
     "bloom": convert_bloom,
     "llama": convert_llama,
+    # Qwen2ForCausalLM uses the llama module naming (model.layers.i.
+    # self_attn.q_proj, ...); its q/k/v biases ride through _lin.
+    "qwen": convert_llama,
 }
 
 

@@ -54,6 +54,9 @@ class TransformerConfig:
     embed_dim: Optional[int] = None       # OPT-350M word_embed_proj_dim
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
+    # Qwen2-style: q/k/v projections carry biases even though the model
+    # is rmsnorm (where every other linear is bias-free).
+    qkv_bias: bool = False
     dtype: Any = jnp.float32
     # Compile the layer stack as ONE block under lax.scan instead of an
     # unrolled python loop: ~n_layers x smaller HLO and compile time.
@@ -118,13 +121,14 @@ def init_params(cfg: TransformerConfig, key,
     layers: List[Dict[str, Any]] = []
     for i in range(cfg.n_layers):
         lk = jax.random.split(keys[4 + i], 8)
+        qb = use_bias or cfg.qkv_bias
         layer = {
             "ln1": norm_p(),
             "ln2": norm_p(),
             "attn": {
-                "q": lin(lk[0], d, d, dtype, bias=use_bias),
-                "k": lin(lk[1], d, kv_dim, dtype, bias=use_bias),
-                "v": lin(lk[2], d, kv_dim, dtype, bias=use_bias),
+                "q": lin(lk[0], d, d, dtype, bias=qb),
+                "k": lin(lk[1], d, kv_dim, dtype, bias=qb),
+                "v": lin(lk[2], d, kv_dim, dtype, bias=qb),
                 "o": lin(lk[3], d, d, dtype, bias=use_bias),
             },
         }

@@ -70,6 +70,18 @@ def llama3_8b(**kw) -> TransformerConfig:
         tie_embeddings=False, norm_eps=1e-6, **kw)
 
 
+def qwen2_7b(**kw) -> TransformerConfig:
+    """Qwen/Qwen2-7B: llama-family architecture + q/k/v biases and a
+    ragged FFN width (18944 - exercises the blocked triangular inverse's
+    ragged path, hessian._tri_inv_lower)."""
+    return TransformerConfig(
+        vocab_size=152064, d_model=3584, n_layers=28, n_heads=28,
+        n_kv_heads=4, d_ff=18944, max_seq_len=32768,
+        activation="silu_glu", norm="rmsnorm", positional="rope",
+        rope_theta=1e6, pre_norm=True, final_ln=True,
+        tie_embeddings=False, norm_eps=1e-6, qkv_bias=True, **kw)
+
+
 def tiny_test(**kw) -> TransformerConfig:
     """Small config for unit tests and smoke runs."""
     defaults = dict(
@@ -89,6 +101,7 @@ ZOO = {
     "bloom-560m": bloom_560m,
     "llama2-7b": llama2_7b,
     "llama3-8b": llama3_8b,
+    "qwen2-7b": qwen2_7b,
     "tiny": tiny_test,
 }
 

@@ -32,6 +32,10 @@ FAMILIES = {
     "bloom-like": dict(positional="alibi", activation="gelu", embed_ln=True),
     "llama-like": dict(positional="rope", activation="silu_glu",
                        norm="rmsnorm", n_kv_heads=2, tie_embeddings=False),
+    # Qwen2: llama architecture + q/k/v biases (qkv_bias) + GQA.
+    "qwen-like": dict(positional="rope", activation="silu_glu",
+                      norm="rmsnorm", n_kv_heads=2, tie_embeddings=False,
+                      qkv_bias=True),
 }
 
 
@@ -167,7 +171,7 @@ def test_generate_greedy_deterministic():
 
 def test_zoo_configs_construct():
     for name in ("opt-125m", "opt-350m", "opt-1.3b", "bloom-560m",
-                 "llama2-7b", "llama3-8b"):
+                 "llama2-7b", "llama3-8b", "qwen2-7b"):
         cfg = get_config(name)
         assert cfg.d_model % cfg.n_heads == 0
         assert len(layer_names(cfg)) in (6 * cfg.n_layers, 7 * cfg.n_layers)

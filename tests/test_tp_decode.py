@@ -17,6 +17,8 @@ from sleekit_tpu.parallel.tp_decode import tp_decode_step
     dict(activation="gelu", positional="alibi"),          # BLOOM-like
     dict(activation="silu_glu", norm="rmsnorm", positional="rope",
          n_kv_heads=2),                                   # Llama/GQA-like
+    dict(activation="silu_glu", norm="rmsnorm", positional="rope",
+         n_kv_heads=2, qkv_bias=True),                    # Qwen2-like
 ])
 @pytest.mark.parametrize("scan_layers", [False, True])
 @pytest.mark.parametrize("cache_dtype", [jnp.float32])
