@@ -576,12 +576,15 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
                  else FLASH_BATCH_FOLD) and not use_ew
     if use_bfold:
         # The folded cache block is (B, kvc, s_blk, D) x {k, v} x double
-        # buffering and must fit the ~16 MB scoped-VMEM stack (measured
-        # OOM at 20.3 MB with s_blk=256 int8 on v5e); shrink the s-block
-        # until it fits a 12 MB budget - fewer rows per program, still
-        # B x fewer launches than the per-row grid.
+        # buffering and must fit the ~16 MB scoped-VMEM stack together
+        # with the per-row loop's temporaries (int8->bf16 converted k/v
+        # and f32 logits are NOT stack-reused across the unrolled B
+        # iterations: measured 20.3 MB at s_blk=256 and still 16.9 MB at
+        # s_blk=128 on v5e). A 6 MB block budget leaves ~10 MB for the
+        # temporaries; fewer rows per program, still B x fewer launches
+        # than the per-row grid.
         per_s = B * kvc * D * cache_k.dtype.itemsize * 2 * 2
-        while s_blk > 64 and per_s * s_blk > 12 * 1024 * 1024:
+        while s_blk > 32 and per_s * s_blk > 6 * 1024 * 1024:
             s_blk //= 2
         while S % s_blk:
             s_blk //= 2

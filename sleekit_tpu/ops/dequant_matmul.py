@@ -61,7 +61,7 @@ def dequant_matmul_xla(x: jnp.ndarray, w: PackedLinear) -> jnp.ndarray:
 
 
 def _kernel(x_ref, w_ref, scale_ref, lut_ref, o_ref, *,
-            nbits, vpw, ksize, affine, compute_dtype):
+            nbits, vpw, ksize, affine, compute_dtype, kb_t=1):
     k_step = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -69,30 +69,38 @@ def _kernel(x_ref, w_ref, scale_ref, lut_ref, o_ref, *,
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    words = w_ref[:]  # (PLANE_GROUP, BN) int32, plane-major tile
     mask = jnp.int32((1 << nbits) - 1)
-    # Plane j is a contiguous row block [j*PLANE_GROUP, (j+1)*PLANE_GROUP).
-    planes = [lax.shift_right_logical(words, jnp.int32(nbits * j)) & mask
-              for j in range(vpw)]
-    idx = jnp.concatenate(planes, axis=0)  # (PLANE_GROUP*vpw, BN)
-    if affine is not None:
-        step, zero = affine
-        wv = (idx.astype(jnp.float32) * step + zero).astype(compute_dtype)
-    else:
-        wv = jnp.zeros(idx.shape, jnp.float32)
-        for j in range(ksize):
-            wv = jnp.where(idx == j, lut_ref[0, j], wv)
-        wv = wv.astype(compute_dtype)
+    bk0 = PLANE_GROUP * vpw
+    # kb_t plane tiles per grid step: 3-bit (vpw=10) tiles expand to 320
+    # K rows, not a multiple of the 128-lane x block requirement - two
+    # tiles (640 = 5x128) restore a legal block (TPU_KERNEL_SMOKE round 3
+    # caught this lowering failure; interpret mode never enforces it).
+    for t in range(kb_t):
+        words = w_ref[t * PLANE_GROUP:(t + 1) * PLANE_GROUP, :]
+        # Plane j is a contiguous row block [j*PG, (j+1)*PG).
+        planes = [lax.shift_right_logical(words, jnp.int32(nbits * j)) & mask
+                  for j in range(vpw)]
+        idx = jnp.concatenate(planes, axis=0)  # (PLANE_GROUP*vpw, BN)
+        if affine is not None:
+            step, zero = affine
+            wv = (idx.astype(jnp.float32) * step + zero).astype(compute_dtype)
+        else:
+            wv = jnp.zeros(idx.shape, jnp.float32)
+            for j in range(ksize):
+                wv = jnp.where(idx == j, lut_ref[0, j], wv)
+            wv = wv.astype(compute_dtype)
 
-    o_ref[:] += jnp.dot(x_ref[:].astype(compute_dtype), wv,
-                        preferred_element_type=jnp.float32)
+        o_ref[:] += jnp.dot(
+            x_ref[:, t * bk0:(t + 1) * bk0].astype(compute_dtype), wv,
+            preferred_element_type=jnp.float32)
 
     @pl.when(k_step == nk - 1)
     def _():
         o_ref[:] = o_ref[:] * scale_ref[0, :][None, :]
 
 
-def _mantissa_kernel(x_ref, w_ref, o_ref, *, nbits, vpw, compute_dtype):
+def _mantissa_kernel(x_ref, w_ref, o_ref, *, nbits, vpw, compute_dtype,
+                     kb_t=1):
     """Dequant via float-bit construction: the VPU hot loop.
 
     Instead of int->float convert + multiply-add per element, place the
@@ -111,22 +119,25 @@ def _mantissa_kernel(x_ref, w_ref, o_ref, *, nbits, vpw, compute_dtype):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    words = w_ref[:]  # (PLANE_GROUP, BN) int32, plane-major tile
     shift = 23 - nbits
     fmask = jnp.int32(((1 << nbits) - 1) << shift)
     one = jnp.int32(0x3F800000)
-    planes = []
-    for j in range(vpw):
-        s = shift - nbits * j
-        if s >= 0:
-            t = lax.shift_left(words, jnp.int32(s)) & fmask
-        else:
-            t = lax.shift_right_logical(words, jnp.int32(-s)) & fmask
-        planes.append(t | one)
-    c = lax.bitcast_convert_type(jnp.concatenate(planes, axis=0),
-                                 jnp.float32).astype(compute_dtype)
-    o_ref[:] += jnp.dot(x_ref[:].astype(compute_dtype), c,
-                        preferred_element_type=jnp.float32)
+    bk0 = PLANE_GROUP * vpw
+    for t in range(kb_t):  # see _kernel: 3-bit needs 2 tiles per step
+        words = w_ref[t * PLANE_GROUP:(t + 1) * PLANE_GROUP, :]
+        planes = []
+        for j in range(vpw):
+            s = shift - nbits * j
+            if s >= 0:
+                w = lax.shift_left(words, jnp.int32(s)) & fmask
+            else:
+                w = lax.shift_right_logical(words, jnp.int32(-s)) & fmask
+            planes.append(w | one)
+        c = lax.bitcast_convert_type(jnp.concatenate(planes, axis=0),
+                                     jnp.float32).astype(compute_dtype)
+        o_ref[:] += jnp.dot(
+            x_ref[:, t * bk0:(t + 1) * bk0].astype(compute_dtype), c,
+            preferred_element_type=jnp.float32)
 
 
 def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
@@ -528,10 +539,14 @@ def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
     kw, n = packed.shape
     ksize = lut.shape[0]
 
-    bk = PLANE_GROUP * vpw
+    # 3-bit plane tiles expand to 320 K rows - not a multiple of the
+    # 128-lane block requirement; process 2 tiles per grid step (640 =
+    # 5x128) for a legal x block.
+    kb_t = 1 if (PLANE_GROUP * vpw) % 128 == 0 else 2
+    bk = kb_t * PLANE_GROUP * vpw
     bn = min(block_n, _round_up(n, 128))
     m_pad = _round_up(max(m, 8), 8)
-    kw_pad = _round_up(kw, PLANE_GROUP)
+    kw_pad = _round_up(kw, kb_t * PLANE_GROUP)
     k_pad = kw_pad * vpw
     n_pad = _round_up(n, bn)
 
@@ -543,7 +558,7 @@ def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
     packed_p = (packed if (kw_pad, n_pad) == (kw, n)
                 else jnp.pad(packed, ((0, kw_pad - kw), (0, n_pad - n))))
 
-    grid = (n_pad // bn, kw_pad // PLANE_GROUP)
+    grid = (n_pad // bn, kw_pad // (kb_t * PLANE_GROUP))
     # bf16 inputs take the bf16 MXU fast path; f32 inputs keep full
     # precision (parity with the XLA oracle).
     compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
@@ -554,14 +569,14 @@ def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
     if affine is not None and nbits <= 7:
         kernel = functools.partial(
             _mantissa_kernel, nbits=nbits, vpw=vpw,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, kb_t=kb_t)
         out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((m_pad, bk), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((PLANE_GROUP, bn), lambda i, j: (j, i),
+                pl.BlockSpec((kb_t * PLANE_GROUP, bn), lambda i, j: (j, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((m_pad, bn), lambda i, j: (0, i),
@@ -579,7 +594,7 @@ def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
     lut_p = lut.reshape(1, ksize)
     kernel = functools.partial(
         _kernel, nbits=nbits, vpw=vpw, ksize=ksize, affine=affine,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, kb_t=kb_t)
 
     out = pl.pallas_call(
         kernel,
@@ -587,7 +602,7 @@ def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
         in_specs=[
             pl.BlockSpec((m_pad, bk), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PLANE_GROUP, bn), lambda i, j: (j, i),
+            pl.BlockSpec((kb_t * PLANE_GROUP, bn), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
