@@ -580,14 +580,25 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
         # with the per-row loop's temporaries (int8->bf16 converted k/v
         # and f32 logits are NOT stack-reused across the unrolled B
         # iterations: measured 20.3 MB at s_blk=256 and still 16.9 MB at
-        # s_blk=128 on v5e). A 6 MB block budget leaves ~10 MB for the
-        # temporaries; fewer rows per program, still B x fewer launches
-        # than the per-row grid.
-        per_s = B * kvc * D * cache_k.dtype.itemsize * 2 * 2
-        while s_blk > 32 and per_s * s_blk > 6 * 1024 * 1024:
+        # s_blk=128 on v5e). Shrink the KV-CHUNK axis first (the scale
+        # plane's LAST block dim is s_blk, which Mosaic requires to be a
+        # multiple of 128 or the full S) down to 8 query rows, then the
+        # s-block, against a 6 MB block budget that leaves ~10 MB for
+        # the temporaries.
+        def blk_bytes(c, s):
+            return B * c * s * D * cache_k.dtype.itemsize * 2 * 2
+
+        budget = 6 * 1024 * 1024
+        while (blk_bytes(kvc, s_blk) > budget and kvc % 2 == 0
+               and (kvc // 2) * G >= 8 and KV % (kvc // 2) == 0):
+            kvc //= 2
+        s_floor = 128 if has_scales else 32
+        while blk_bytes(kvc, s_blk) > budget and s_blk > s_floor:
             s_blk //= 2
         while S % s_blk:
             s_blk //= 2
+        n_c = KV // kvc
+        rows = kvc * G
         n_s = S // s_blk
 
     def kernel(pr, lr, qr, kr, vr, *rest):

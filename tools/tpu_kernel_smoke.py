@@ -80,9 +80,13 @@ def main(argv=None) -> int:
                  else "") + ")", flush=True)
 
     # ---- dequant matmul: layout x nbits x glue-fusion x geometry ------
+    # K is the dimension that stresses lowering/VMEM (full-K-row glue
+    # variants); N is block-tiled, so the 8B rows keep the true K but a
+    # reduced N - the full-width host-side pack alone took minutes and
+    # tripped the sweep timeout.
     geoms = [("opt1.3b-fc1", 2048, 8192), ("opt1.3b-attn", 2048, 2048)]
     if not args.quick:
-        geoms += [("llama8b-gateup", 4096, 28672), ("llama8b-down", 14336, 4096)]
+        geoms += [("llama8b-gateup", 4096, 8192), ("llama8b-down", 14336, 4096)]
     for gname, K, N in geoms:
         W = rng.randn(N, K).astype(np.float32) * 0.02
         x = jnp.asarray(rng.randn(8, K).astype(np.float32) * 0.1,
