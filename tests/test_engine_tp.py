@@ -58,3 +58,32 @@ def test_engine_tp_matches_single(scan_layers, cache_dtype):
                 cache_dtype=cache_dtype, mesh=mesh)
     got = _run(tp)
     assert got == want
+
+
+def test_engine_tp_sampled_fused_matches_single():
+    """Sampled requests through the TP fused scan (_tp_scan_sampled, key
+    in the carry) == the single-device fused engine, token for token."""
+    cfg = tiny_test(d_model=64, n_heads=4, n_layers=2, d_ff=128,
+                    vocab_size=256, scan_layers=False)
+    params, _ = random_packed_params(cfg, jax.random.PRNGKey(0),
+                                     UniformCodebook(16, -1.0, 1.0))
+    params = pack_lm_head(cfg, params, nbits=8)
+    tp_params = prepare_params_for_tp(cfg, params, 2)
+
+    def reqs():
+        rng = np.random.RandomState(8)
+        return [
+            Request(prompt=rng.randint(0, 256, (5,)).astype(np.int32),
+                    max_new_tokens=8, temperature=0.8),
+            Request(prompt=rng.randint(0, 256, (9,)).astype(np.int32),
+                    max_new_tokens=8),  # greedy slot in the same batch
+        ]
+
+    single = Engine(cfg, params, max_slots=2, max_seq_len=64,
+                    fused_steps=4, seed=3)
+    want = [c.new_tokens.tolist() for c in single.run(reqs())]
+    mesh = make_mesh(data=1, model=2)
+    tp = Engine(cfg, tp_params, max_slots=2, max_seq_len=64,
+                fused_steps=4, seed=3, mesh=mesh)
+    got = [c.new_tokens.tolist() for c in tp.run(reqs())]
+    assert got == want
