@@ -335,7 +335,7 @@ def main(argv=None):
     cb_sizes = (4, 3) if args.quick else (8, 4, 3, 2)
     grid = 40 if args.quick else 100
 
-    lines = ["# PARITY_r02 — direct numerical A/B vs /root/reference",
+    lines = [f"# {os.path.splitext(os.path.basename(args.out))[0]} — direct numerical A/B vs /root/reference",
              "",
              f"Reference (NumPy/float64 promotion) vs sleekit_tpu "
              f"(JAX f32, CPU backend), identical synthetic layer dumps. "
