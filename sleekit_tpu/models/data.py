@@ -58,6 +58,13 @@ def load_token_stream(
         raise RuntimeError(
             "wikitext2 requested but HF datasets/tokenizer unavailable "
             "(offline without cache?); pass a pre-tokenized .npy instead")
+    if source is not None:
+        # A typo'd path or unknown format must not silently calibrate on
+        # random tokens (the only signal would be one provenance line in
+        # a long log and quietly wrong quantization quality).
+        raise ValueError(
+            f"unrecognized token source {source!r}: expected a .npy path, "
+            "a .skt shard, 'wikitext2', or None for synthetic")
     return synthetic_stream(vocab_size, n_tokens, seed), "synthetic"
 
 

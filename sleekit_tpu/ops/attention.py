@@ -592,11 +592,17 @@ def flash_decode_pallas(q, cache_k, cache_v, pos, layer,
         while (blk_bytes(kvc, s_blk) > budget and kvc % 2 == 0
                and (kvc // 2) * G >= 8 and KV % (kvc // 2) == 0):
             kvc //= 2
+        # Scale planes carry s_blk as their LAST block dim, which must be
+        # a multiple of 128 or the full S - never halve below the floor,
+        # and if ragged-S divisibility forces us under it, fall back to
+        # full-S blocks (always legal).
         s_floor = 128 if has_scales else 32
-        while blk_bytes(kvc, s_blk) > budget and s_blk > s_floor:
+        while blk_bytes(kvc, s_blk) > budget and s_blk // 2 >= s_floor:
             s_blk //= 2
         while S % s_blk:
             s_blk //= 2
+        if has_scales and s_blk < s_floor and s_blk != S:
+            s_blk = S
         n_c = KV // kvc
         rows = kvc * G
         n_s = S // s_blk

@@ -540,9 +540,13 @@ def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
     ksize = lut.shape[0]
 
     # 3-bit plane tiles expand to 320 K rows - not a multiple of the
-    # 128-lane block requirement; process 2 tiles per grid step (640 =
-    # 5x128) for a legal x block.
-    kb_t = 1 if (PLANE_GROUP * vpw) % 128 == 0 else 2
+    # 128-lane block requirement; process enough tiles per grid step for
+    # a legal x block (lcm-based: 2 tiles = 640 = 5x128 for 3-bit, and
+    # correct for any future width rather than a hardcoded doubling).
+    import math as _math
+
+    tile_k = PLANE_GROUP * vpw
+    kb_t = 128 // _math.gcd(tile_k, 128)
     bk = kb_t * PLANE_GROUP * vpw
     bn = min(block_n, _round_up(n, 128))
     m_pad = _round_up(max(m, 8), 8)

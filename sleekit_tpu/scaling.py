@@ -118,7 +118,7 @@ def _move_axis_first(data: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.transpose(data, (axis, *other)).reshape(data.shape[axis], -1)
 
 
-def _grid_argmin(factors, eval_factor, num_channels):
+def _grid_argmin(factors, eval_factor, num_channels, return_err=False):
     """Scan the factor grid keeping the per-channel best (first win on ties,
     matching the reference's strict-< update, scaling.py:129-133)."""
 
@@ -133,6 +133,8 @@ def _grid_argmin(factors, eval_factor, num_channels):
     init = (jnp.full((num_channels,), jnp.inf, jnp.float32),
             jnp.full((num_channels,), jnp.inf, jnp.float32))
     (best_err, best_choice), _ = lax.scan(step, init, factors)
+    if return_err:
+        return best_choice, best_err
     return best_choice
 
 
@@ -211,17 +213,16 @@ def compute_obq_scaling(
     if refine > 0:
         coarse = jnp.linspace(min_factor, max_factor, refine,
                               dtype=jnp.float32)
-        center = _grid_argmin(coarse, eval_factor, m)       # (m,)
+        center, e_center = _grid_argmin(coarse, eval_factor, m,
+                                        return_err=True)   # (m,), (m,)
         step = (max_factor - min_factor) / max(refine - 1, 1)
         offsets = jnp.linspace(-step, step, refine, dtype=jnp.float32)
         fine = jnp.clip(center[None, :] + offsets[:, None],
                         min_factor, max_factor)             # (refine, m)
-        best = _grid_argmin(fine, eval_factor, m)
-        # The coarse winner is a member of the fine grid (offset 0 when
-        # refine is odd) only approximately after clipping; keep whichever
-        # of (coarse winner, fine winner) scores lower per channel.
-        e_center = eval_factor(center)
-        e_best = eval_factor(best)
+        best, e_best = _grid_argmin(fine, eval_factor, m, return_err=True)
+        # The coarse winner need not be a member of the clipped fine
+        # grid; keep whichever scores lower per channel (errors already
+        # tracked by the scans - no extra sweeps).
         best = jnp.where(e_center < e_best, center, best)
         return initial_scale * best
 
