@@ -53,9 +53,12 @@ def main():
     # default serving config: halves KV HBM traffic and doubles context
     # capacity at no measured argmax change (tests/test_attention.py).
     # fp8 (e4m3) compiles but converts in software on v5e - slow.
+    # int8b = int8 values + BF16 per-token scales: the f32 scale planes
+    # are 1/3 of the int8 KV stream (round-3 ctx-1024 analysis).
+    kv_name = os.environ.get("BENCH_KV", "int8")
     kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8,
-                "fp8": jnp.float8_e4m3fn}[
-        os.environ.get("BENCH_KV", "int8")]
+                "int8b": jnp.int8, "fp8": jnp.float8_e4m3fn}[kv_name]
+    kv_scale_dtype = jnp.bfloat16 if kv_name == "int8b" else jnp.float32
 
     # Full-context pair-kernel tuning A/B: BENCH_PAIR_TUNE=kb0s1d1 etc.
     # (microbench sweeps don't transfer; see ops/dequant_matmul.PAIR_TUNE).
@@ -134,7 +137,8 @@ def main():
         scan_fn = decode_scan
 
     def run_decode(params, tag, cache_dtype=jnp.bfloat16):
-        cache = init_kv_cache(cfg, batch, ctx, dtype=cache_dtype)
+        cache = init_kv_cache(cfg, batch, ctx, dtype=cache_dtype,
+                              scale_dtype=kv_scale_dtype)
         t0 = time.time()
         toks, cache, last, pos = scan_fn(cfg, params, cache, first,
                                          jnp.int32(0), steps)
@@ -142,7 +146,8 @@ def main():
         log(f"  {tag}: compile+first loop {time.time() - t0:.1f}s")
         best = float("inf")
         for _ in range(3):
-            cache = init_kv_cache(cfg, batch, ctx, dtype=cache_dtype)
+            cache = init_kv_cache(cfg, batch, ctx, dtype=cache_dtype,
+                                  scale_dtype=kv_scale_dtype)
             t0 = time.time()
             toks, cache, last, pos = scan_fn(cfg, params, cache, first,
                                              jnp.int32(0), steps)

@@ -468,9 +468,11 @@ def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
             cache_v = jax.lax.dynamic_update_slice(
                 cache_v, vq.astype(cache_v.dtype), (0, 0, write_pos, 0))
             new_entry["k_scale"] = jax.lax.dynamic_update_slice(
-                entry["k_scale"], ks[..., 0], (0, 0, write_pos))
+                entry["k_scale"], ks[..., 0].astype(entry["k_scale"].dtype),
+                (0, 0, write_pos))
             new_entry["v_scale"] = jax.lax.dynamic_update_slice(
-                entry["v_scale"], vs[..., 0], (0, 0, write_pos))
+                entry["v_scale"], vs[..., 0].astype(entry["v_scale"].dtype),
+                (0, 0, write_pos))
             attn_k = (cache_k.astype(jnp.float32)
                       * new_entry["k_scale"][..., None]).astype(x.dtype)
             attn_v = (cache_v.astype(jnp.float32)
@@ -681,14 +683,18 @@ def calibrate_step(cfg: TransformerConfig, params, tokens,
 
 
 def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
-                  dtype=jnp.float32):
+                  dtype=jnp.float32, scale_dtype=jnp.float32):
     """KV cache in (batch, kv_heads, seq, head_dim) layout (the decode
     kernels' layout, ops/attention.py); scan_layers stacks a leading
     layer axis so the decode scan carries ONE buffer per k/v.
 
     ``dtype=jnp.int8`` selects the quantized cache: int8 values plus
-    per-(token, head) f32 scales (halved HBM traffic and 2x context
-    capacity; quantization happens inside the append kernels)."""
+    per-(token, head) scales (halved HBM traffic and 2x context
+    capacity; quantization happens inside the append kernels).
+    ``scale_dtype=jnp.bfloat16`` halves the scale planes too - they are
+    1/3 of the int8 KV stream (round-3 journal); scales are computed in
+    f32 and rounded on store, adding <=2^-9 relative error on top of
+    int8's 2^-8."""
     shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
     quant = dtype == jnp.int8
     if cfg.scan_layers:
@@ -696,16 +702,16 @@ def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
                "v": jnp.zeros((cfg.n_layers, *shape), dtype)}
         if quant:
             sshape = (cfg.n_layers, batch, cfg.kv_heads, max_len)
-            out["k_scale"] = jnp.zeros(sshape, jnp.float32)
-            out["v_scale"] = jnp.zeros(sshape, jnp.float32)
+            out["k_scale"] = jnp.zeros(sshape, scale_dtype)
+            out["v_scale"] = jnp.zeros(sshape, scale_dtype)
         return out
     layers = []
     for _ in range(cfg.n_layers):
         entry = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
         if quant:
             sshape = (batch, cfg.kv_heads, max_len)
-            entry["k_scale"] = jnp.zeros(sshape, jnp.float32)
-            entry["v_scale"] = jnp.zeros(sshape, jnp.float32)
+            entry["k_scale"] = jnp.zeros(sshape, scale_dtype)
+            entry["v_scale"] = jnp.zeros(sshape, scale_dtype)
         layers.append(entry)
     return layers
 
@@ -790,7 +796,7 @@ def _run_layers_decode(cfg, params, x, positions, cache, pos):
 
 def init_paged_kv_cache(cfg: TransformerConfig, total_pages: int,
                         page_size: int, slots: int, max_pages_per_seq: int,
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, scale_dtype=jnp.float32):
     """Paged KV cache: a shared page pool (L, P, KV, PS, D) plus a page
     table (slots, max_pages_per_seq) int32 (ops/paged_attention.py).
     ``dtype=jnp.int8`` adds per-token scale planes. Unallocated table
@@ -801,8 +807,8 @@ def init_paged_kv_cache(cfg: TransformerConfig, total_pages: int,
            "page_table": jnp.zeros((slots, max_pages_per_seq), jnp.int32)}
     if dtype == jnp.int8:
         sshape = pool[:-1]
-        out["k_scale"] = jnp.zeros(sshape, jnp.float32)
-        out["v_scale"] = jnp.zeros(sshape, jnp.float32)
+        out["k_scale"] = jnp.zeros(sshape, scale_dtype)
+        out["v_scale"] = jnp.zeros(sshape, scale_dtype)
     return out
 
 

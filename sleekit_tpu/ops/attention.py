@@ -95,8 +95,10 @@ def _append_q_kernel(pos_ref, layer_ref, knew_ref, vnew_ref,
     S = ks_in.shape[-1]
     col = lax.broadcasted_iota(jnp.int32, (1, S), 1)[None, None]
     smask = col == pos_ref[b]                           # (1,1,1,S)
-    ks_out[...] = jnp.where(smask, ks[..., 0][None], ks_in[...])
-    vs_out[...] = jnp.where(smask, vs[..., 0][None], vs_in[...])
+    ks_out[...] = jnp.where(smask, ks[..., 0][None],
+                            ks_in[...]).astype(ks_out.dtype)
+    vs_out[...] = jnp.where(smask, vs[..., 0][None],
+                            vs_in[...]).astype(vs_out.dtype)
 
 
 def _append_kernel_u(pos_ref, layer_ref, knew_ref, vnew_ref,
@@ -129,8 +131,10 @@ def _append_q_kernel_u(pos_ref, layer_ref, knew_ref, vnew_ref,
     S = ks_in.shape[-1]
     col = lax.broadcasted_iota(jnp.int32, (1, S), 1)[None, None]
     smask = col == pos_ref[0]                           # (1,1,1,S)
-    ks_out[...] = jnp.where(smask, ks[..., 0][None], ks_in[...])
-    vs_out[...] = jnp.where(smask, vs[..., 0][None], vs_in[...])
+    ks_out[...] = jnp.where(smask, ks[..., 0][None],
+                            ks_in[...]).astype(ks_out.dtype)
+    vs_out[...] = jnp.where(smask, vs[..., 0][None],
+                            vs_in[...]).astype(vs_out.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

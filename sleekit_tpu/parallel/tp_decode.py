@@ -210,9 +210,11 @@ def _tp_prefill_block(cfg, lcfg, layer, x, entry, positions, axis, slopes):
         cache_v = lax.dynamic_update_slice(
             cache_v, vq.astype(cache_v.dtype), (0, 0, 0, 0))
         new_entry["k_scale"] = lax.dynamic_update_slice(
-            entry["k_scale"], ks[..., 0], (0, 0, 0))
+            entry["k_scale"], ks[..., 0].astype(entry["k_scale"].dtype),
+            (0, 0, 0))
         new_entry["v_scale"] = lax.dynamic_update_slice(
-            entry["v_scale"], vs[..., 0], (0, 0, 0))
+            entry["v_scale"], vs[..., 0].astype(entry["v_scale"].dtype),
+            (0, 0, 0))
         attn_k = (cache_k.astype(jnp.float32)
                   * new_entry["k_scale"][..., None]).astype(x.dtype)
         attn_v = (cache_v.astype(jnp.float32)

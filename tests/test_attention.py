@@ -89,6 +89,73 @@ def test_flash_decode_batch_fold_matches_oracle(G, alibi, quant):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_bf16_scale_planes_match_oracle():
+    """int8 KV with BF16 per-token scale planes (the f32 planes are 1/3
+    of the KV stream): Pallas append+decode == XLA oracle on the same
+    bf16-stored scales, and full decode stays close to the f32-scale
+    reference."""
+    from sleekit_tpu.ops.attention import (decode_attention,
+                                           kv_append_pallas, kv_append_xla)
+
+    rng = np.random.RandomState(21)
+    L, B, KV, S, D = 2, 3, 4, 32, 64
+    ck = jnp.zeros((L, B, KV, S, D), jnp.int8)
+    cv = jnp.zeros((L, B, KV, S, D), jnp.int8)
+    ks = jnp.zeros((L, B, KV, S), jnp.bfloat16)
+    vs = jnp.zeros((L, B, KV, S), jnp.bfloat16)
+    kn = jnp.asarray(rng.randn(B, KV, D).astype(np.float32))
+    vn = jnp.asarray(rng.randn(B, KV, D).astype(np.float32))
+    q = jnp.asarray(rng.randn(B, KV, D).astype(np.float32))
+    pos = jnp.asarray(rng.randint(0, S, (B,)), jnp.int32)
+    layer = jnp.int32(1)
+
+    o_p = decode_attention(q, kn, vn, ck, cv, pos, layer,
+                           k_scale=ks, v_scale=vs, use_pallas=False,
+                           interpret=True)
+    o_x = decode_attention(q, kn, vn, ck, cv, pos, layer,
+                           k_scale=ks, v_scale=vs, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(o_p[0]), np.asarray(o_x[0]),
+                               rtol=1e-2, atol=1e-2)
+    for a, b in zip(o_p[1:], o_x[1:]):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-2, atol=1e-2)
+    # vs the f32-scale path: bf16 scale rounding adds <= ~2^-8 relative.
+    ks32 = jnp.zeros((L, B, KV, S), jnp.float32)
+    o_f = decode_attention(q, kn, vn, ck, cv, pos, layer,
+                           k_scale=ks32, v_scale=ks32, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(o_p[0]), np.asarray(o_f[0]),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_engine_bf16_scale_cache_tokens_stable():
+    """Engine serving with bf16 scale planes produces the same greedy
+    tokens as f32 planes on a tiny model (quality tripwire)."""
+    from sleekit_tpu.models.transformer import init_kv_cache
+    from sleekit_tpu.models.zoo import tiny_test
+    from sleekit_tpu.models.transformer import init_params
+    from sleekit_tpu.models.eval import generate_fused, prefill
+
+    cfg = tiny_test(d_model=64, n_heads=4, n_layers=2, d_ff=96,
+                    vocab_size=64, scan_layers=False)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    prompt = jnp.asarray(np.random.RandomState(2).randint(
+        0, 64, (2, 6)).astype(np.int32))
+    import jax as _jax
+    from sleekit_tpu.models.eval import decode_scan
+
+    def gen(scale_dtype):
+        cache = init_kv_cache(cfg, 2, 32, dtype=jnp.int8,
+                              scale_dtype=scale_dtype)
+        logits, cache = _jax.jit(prefill, static_argnums=(0,))(
+            cfg, params, prompt, cache)
+        first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        toks, *_ = decode_scan(cfg, params, cache, first, jnp.int32(6), 8)
+        return np.asarray(toks)
+
+    assert np.array_equal(gen(jnp.float32), gen(jnp.bfloat16))
+
+
 def test_decode_attention_paths_agree():
     ck, cv, kn, vn, q, pos = _setup()
     layer = jnp.int32(0)
