@@ -482,6 +482,314 @@ def _decode_kernel_bfold(pos_ref, layer_ref, q_ref, k_ref, v_ref,
             o_ref[b] = out.reshape(kv, groups, D_).astype(o_ref.dtype)
 
 
+def _fused_decode_kernel(pos_ref, layer_ref, q_ref, kn_ref, vn_ref,
+                         k_ref, v_ref, slopes_ref, ks_ref, vs_ref,
+                         o_ref, wk_ref, wv_ref, sk_ref, sv_ref,
+                         acc_ref, m_ref, l_ref, *,
+                         scale, kv, groups, s_blk):
+    """Append-fused flash decode: one kernel per layer does BOTH the
+    in-place KV append and the masked flash attention.
+
+    The round-3 profile put attention+append at 0.81 ms/step vs a
+    0.37 ms KV-stream bound and exonerated everything except program
+    count (BENCH_NOTES.md round-3 sweeps): the separate append
+    ``pallas_call`` per layer costs a full launch + pipeline setup AND
+    serializes with the flash call that must read its output. Fusing
+    removes the dependency entirely: the new token's K/V ride in VMEM,
+    its logit/value contribution is computed in-register at the first
+    S-block (the streamed cache is masked to ``col_s < p`` since row p
+    is stale), and the kernel persists the token via two small aliased
+    side outputs - the 8-row append window of the cache and the scale-
+    plane block containing p. Bonus: the old append kernel read+wrote
+    the FULL (B, KV, S) scale planes every layer; the fused side output
+    touches one S-block per row.
+
+    Grid and per-block math are identical to :func:`_decode_kernel`
+    (one-big-dot fold over KV heads, online softmax across S blocks).
+    """
+    b = pl.program_id(0)
+    ns = pl.program_id(2)
+    n_s = pl.num_programs(2)
+    del layer_ref
+    rows, cols = kv * groups, kv * s_blk
+    quantized = ks_ref is not None
+
+    @pl.when(ns == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    D_ = q_ref.shape[-1]
+    cdt = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    qf = q_ref[0].reshape(rows, D_)
+    k = k_ref[0, 0].reshape(cols, D_)
+    logits = lax.dot_general(qf.astype(cdt), k.astype(cdt),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    kv_iota = lax.broadcasted_iota(jnp.int32, (kv, 1), 0)
+
+    def lane_vec(ref):
+        t = ref[0, 0]                                    # (KV, SB)
+        rows_ = [jnp.sum(jnp.where(kv_iota == i, t, 0.0), axis=0,
+                         keepdims=True) for i in range(kv)]
+        return jnp.concatenate(rows_, axis=1)            # (1, KV*SB)
+
+    if quantized:
+        logits = logits * lane_vec(ks_ref)
+    row_h = lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // groups
+    col_h = lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // s_blk
+    col_s = (lax.broadcasted_iota(jnp.int32, (rows, cols), 1) % s_blk
+             + ns * s_blk)
+    p = pos_ref[b]
+    if slopes_ref is not None:
+        slope = slopes_ref[...].astype(jnp.float32)          # (rows, 1)
+        logits = logits + slope * (col_s - p).astype(jnp.float32)
+    # STRICT mask: the streamed cache row at p is stale (pre-append);
+    # the new token's column is handled from VMEM below.
+    mask = (row_h == col_h) & (col_s < p)
+    logits = jnp.where(mask, logits, -jnp.inf)
+
+    # ---- the new token's column, from VMEM -------------------------------
+    kn = kn_ref[0]                                       # (kv, 1, D)
+    vn = vn_ref[0]
+    if quantized:
+        kq, ksc = _quant_rows(kn.astype(jnp.float32))    # int8, (kv,1,1)
+        vq, vsc = _quant_rows(vn.astype(jnp.float32))
+        # Parity with read-back: scales round-trip the stored dtype.
+        ksc = ksc[..., 0].astype(sk_ref.dtype).astype(jnp.float32)
+        vsc = vsc[..., 0].astype(sv_ref.dtype).astype(jnp.float32)
+        k_tok = kq.astype(cdt)                           # (kv, 1, D)
+        v_tok = vq.astype(cdt)
+        ks_rows = jnp.broadcast_to(ksc[:, :, None],
+                                   (kv, groups, 1)).reshape(rows, 1)
+        vs_rows = jnp.broadcast_to(vsc[:, :, None],
+                                   (kv, groups, 1)).reshape(rows, 1)
+    else:
+        k_tok = kn.astype(k_ref.dtype).astype(cdt)
+        v_tok = vn.astype(v_ref.dtype).astype(cdt)
+    knr = jnp.broadcast_to(k_tok, (kv, groups, D_)).reshape(rows, D_)
+    vnr = jnp.broadcast_to(v_tok, (kv, groups, D_)).reshape(rows, D_)
+    nl = jnp.sum(qf.astype(cdt).astype(jnp.float32)
+                 * knr.astype(jnp.float32), axis=-1, keepdims=True) * scale
+    if quantized:
+        nl = nl * ks_rows
+    # ALiBi distance for the new token is 0 - no bias term.
+    nl = jnp.where(ns == 0, nl, -jnp.inf)                # count it ONCE
+
+    m_blk = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), nl)
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, m_blk)
+    alpha = jnp.exp(m_prev - m_new)                          # (rows, 1)
+    p_exp = jnp.exp(logits - m_new)                          # (rows, cols)
+    p_tok = jnp.exp(nl - m_new)                              # (rows, 1)
+    l_new = (l_ref[:, :1] * alpha + jnp.sum(p_exp, axis=-1, keepdims=True)
+             + p_tok)
+    v = v_ref[0, 0].reshape(cols, D_)
+    if quantized:
+        p_exp = p_exp * lane_vec(vs_ref)
+        p_tok = p_tok * vs_rows
+    pv = jnp.dot(p_exp.astype(cdt), v.astype(cdt),
+                 preferred_element_type=jnp.float32)         # (rows, D)
+    pv = pv + p_tok.astype(cdt).astype(jnp.float32) * vnr.astype(jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha + pv
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    # ---- persist the token: append-window + scale-block side outputs ----
+    # The output buffers are flushed ONCE per (b, chunk) - their index
+    # maps are constant in ns - so write them at the S-block containing
+    # p, where the stale window rows are already in VMEM.
+    @pl.when(ns == p // s_blk)
+    def _():
+        w0 = (p % s_blk) // _APPEND_WIN * _APPEND_WIN
+        iw = lax.broadcasted_iota(jnp.int32, (_APPEND_WIN, s_blk), 0)
+        is_ = lax.broadcasted_iota(jnp.int32, (_APPEND_WIN, s_blk), 1)
+        oh = (is_ == iw + w0).astype(jnp.float32)        # one-hot gather
+        k2 = k_ref[0, 0].astype(jnp.float32)             # (kv, SB, D)
+        v2 = v_ref[0, 0].astype(jnp.float32)
+        wk0 = lax.dot_general(oh, k2, (((1,), (1,)), ((), ())))
+        wv0 = lax.dot_general(oh, v2, (((1,), (1,)), ((), ())))
+        if quantized:
+            k_store = kq[:, 0, :].astype(jnp.float32)    # (kv, D)
+            v_store = vq[:, 0, :].astype(jnp.float32)
+        else:
+            k_store = kn[:, 0, :].astype(jnp.float32)
+            v_store = vn[:, 0, :].astype(jnp.float32)
+        r = p % _APPEND_WIN
+        for w in range(_APPEND_WIN):
+            sel = jnp.int32(w) == r
+            wk_ref[0, 0, :, w, :] = jnp.where(
+                sel, k_store, wk0[w]).astype(wk_ref.dtype)
+            wv_ref[0, 0, :, w, :] = jnp.where(
+                sel, v_store, wv0[w]).astype(wv_ref.dtype)
+        if quantized:
+            colv = (lax.broadcasted_iota(jnp.int32, (kv, s_blk), 1)
+                    + ns * s_blk)
+            smask = colv == p
+            sk_ref[0, 0] = jnp.where(
+                smask, jnp.broadcast_to(ksc, (kv, s_blk)),
+                ks_ref[0, 0].astype(jnp.float32)).astype(sk_ref.dtype)
+            sv_ref[0, 0] = jnp.where(
+                smask, jnp.broadcast_to(vsc, (kv, s_blk)),
+                vs_ref[0, 0].astype(jnp.float32)).astype(sv_ref.dtype)
+
+    @pl.when(ns == n_s - 1)
+    def _():
+        out = acc_ref[...] / l_ref[:, :1]
+        o_ref[0] = out.reshape(kv, groups, D_).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_s",
+                                             "kv_chunk", "interpret"))
+def fused_decode_append_pallas(q, k_new, v_new, cache_k, cache_v, pos,
+                               layer, scale: float,
+                               alibi_slopes: Optional[jnp.ndarray] = None,
+                               k_scale=None, v_scale=None,
+                               block_s: int = 256,
+                               kv_chunk: Optional[int] = None,
+                               interpret: bool = False):
+    """One-kernel decode step: appends k_new/v_new (B, KV, D) into the
+    (L, B, KV, S, D) cache at ``pos`` of layer ``layer`` IN PLACE and
+    returns the masked flash attention over the full post-append cache.
+
+    Replaces the kv_append_pallas -> flash_decode_pallas pair (one fewer
+    launch per layer, no serialization between them; see
+    :func:`_fused_decode_kernel`). Returns ``(out, cache_k, cache_v)``
+    plus ``(k_scale, v_scale)`` when the cache is int8.
+    """
+    L, B, KV, S, D = cache_k.shape
+    Bq, H, Dq = q.shape
+    assert (Bq, Dq) == (B, D) and H % KV == 0
+    G = H // KV
+    kvc = kv_chunk or FLASH_KV_CHUNK or KV
+    if KV % kvc != 0:
+        kvc = KV
+    kvc = min(kvc, KV)
+    while (kvc * G < 8 or KV % kvc != 0) and kvc < KV:
+        kvc *= 2
+    if KV % kvc != 0:
+        kvc = KV
+    n_c = KV // kvc
+    rows = kvc * G
+    s_blk = min(block_s, S)
+    assert S % s_blk == 0 and s_blk % _APPEND_WIN == 0
+    n_s = S // s_blk
+    q4 = q.reshape(B, KV, G, D)
+    k_new = k_new.reshape(B, KV, 1, D)
+    v_new = v_new.reshape(B, KV, 1, D)
+    pos = jnp.clip(jnp.broadcast_to(pos, (B,)).astype(jnp.int32), 0, S - 1)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    def cache_map(b, c, ns, p, l):
+        return (l[0], b, c, ns, 0)
+
+    def win_map(b, c, ns, p, l):
+        return (l[0], b, c, p[b] // _APPEND_WIN, 0)
+
+    def sblk_map(b, c, ns, p, l, _sb=s_blk):
+        # Index units are BLOCK counts: the p-block index divides by s_blk.
+        return (l[0], b, c, p[b] // _sb)
+
+    q_map = lambda b, c, ns, p, l: (b, c, 0, 0)  # noqa: E731
+    new_spec = pl.BlockSpec((1, kvc, 1, D),
+                            lambda b, c, ns, p, l: (b, c, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, kvc, G, D), q_map, memory_space=pltpu.VMEM),
+        new_spec, new_spec,
+        pl.BlockSpec((1, 1, kvc, s_blk, D), cache_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, kvc, s_blk, D), cache_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [pos, layer, q4, k_new, v_new, cache_k, cache_v]
+    has_slopes = alibi_slopes is not None
+    has_scales = k_scale is not None
+    if has_slopes:
+        slopes2 = jnp.asarray(alibi_slopes, jnp.float32).reshape(KV * G, 1)
+        in_specs.append(pl.BlockSpec((rows, 1),
+                                     lambda b, c, ns, p, l: (c, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(slopes2)
+    if has_scales:
+        sspec = pl.BlockSpec((1, 1, kvc, s_blk),
+                             lambda b, c, ns, p, l: (l[0], b, c, ns),
+                             memory_space=pltpu.VMEM)
+        in_specs += [sspec, sspec]
+        args += [k_scale, v_scale]
+
+    win_spec = pl.BlockSpec((1, 1, kvc, _APPEND_WIN, D), win_map,
+                            memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, kvc, G, D), q_map, memory_space=pltpu.VMEM),
+        win_spec, win_spec,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, KV, G, D), q.dtype),
+        jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+        jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+    ]
+    # args: [pos, layer, q, kn, vn, ck, cv, (slopes), (ks, vs)]
+    aliases = {5: 1, 6: 2}
+    if has_scales:
+        sout = pl.BlockSpec((1, 1, kvc, s_blk), sblk_map,
+                            memory_space=pltpu.VMEM)
+        out_specs += [sout, sout]
+        out_shape += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+                      jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
+        si = 8 if has_slopes else 7
+        aliases[si] = 3
+        aliases[si + 1] = 4
+
+    def kernel(pr, lr, qr, knr, vnr, kr, vr, *rest):
+        i = 0
+        slopes = rest[0] if has_slopes else None
+        i += int(has_slopes)
+        ks = rest[i] if has_scales else None
+        vs = rest[i + 1] if has_scales else None
+        i += 2 * int(has_scales)
+        outs = rest[i:]
+        if has_scales:
+            o, wk, wv, sk, sv = outs[:5]
+            scratch = outs[5:]
+        else:
+            o, wk, wv = outs[:3]
+            sk = sv = None
+            scratch = outs[3:]
+        _fused_decode_kernel(pr, lr, qr, knr, vnr, kr, vr, slopes, ks, vs,
+                             o, wk, wv, sk, sv, *scratch,
+                             scale=scale, kv=kvc, groups=G, s_blk=s_blk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_c, n_s),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((rows, D), jnp.float32),    # acc
+            pltpu.VMEM((rows, 128), jnp.float32),  # running max
+            pltpu.VMEM((rows, 128), jnp.float32),  # running denom
+        ],
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*args)
+    out = res[0].reshape(B, H, D)
+    if has_scales:
+        return out, res[1], res[2], res[3], res[4]
+    return out, res[1], res[2]
+
+
+# Fuse the KV append INTO the flash-decode kernel (one pallas_call per
+# layer instead of append + flash; see _fused_decode_kernel). A/B knob
+# BENCH_ATTN=split restores the two-kernel path.
+FLASH_FUSED_APPEND = True
+
 # KV heads folded per flash-decode program; None = fold ALL heads into
 # one dot per (batch, s-block) program. Folding inflates the logits
 # matrix (and the VPU softmax/mask passes over it) by the fold factor,
@@ -757,6 +1065,12 @@ def decode_attention(q, k_new, v_new, cache_k, cache_v, pos, layer,
     if use_pallas is None:
         use_pallas = use_pallas_default()
     quantized = k_scale is not None
+    if (use_pallas or interpret) and FLASH_FUSED_APPEND:
+        res = fused_decode_append_pallas(
+            q, k_new, v_new, cache_k, cache_v, pos, layer, scale,
+            alibi_slopes, k_scale=k_scale, v_scale=v_scale,
+            interpret=interpret)
+        return res
     if use_pallas or interpret:
         updated = kv_append_pallas(
             k_new, v_new, cache_k, cache_v, pos, layer,
