@@ -81,12 +81,15 @@ def main():
         import sleekit_tpu.ops.attention as _at
         if os.environ.get("BENCH_ATTN") == "bfold":
             _at.FLASH_BATCH_FOLD = True
+        elif os.environ.get("BENCH_ATTN") == "split":
+            _at.FLASH_FUSED_APPEND = False  # un-fused append + flash pair
         elif os.environ.get("BENCH_ATTN"):
             _at.FLASH_MHA_MODE = os.environ["BENCH_ATTN"]
         if os.environ.get("BENCH_KV_CHUNK"):
             _at.FLASH_KV_CHUNK = int(os.environ["BENCH_KV_CHUNK"])
         log(f"  attention A/B: mode={_at.FLASH_MHA_MODE} "
-            f"bfold={_at.FLASH_BATCH_FOLD} kv_chunk={_at.FLASH_KV_CHUNK}")
+            f"bfold={_at.FLASH_BATCH_FOLD} kv_chunk={_at.FLASH_KV_CHUNK} "
+            f"fused={_at.FLASH_FUSED_APPEND}")
 
     # BENCH_TEMP=0.7: decode via the fused SAMPLED scan (on-device
     # categorical sampling, PRNG key in the scan carry) instead of greedy
@@ -161,7 +164,10 @@ def main():
     # int8-packed unembed head on top of the int-N packed linears.
     from sleekit_tpu.models.quantize import pack_lm_head
 
-    layout = os.environ.get("BENCH_LAYOUT", "pair")
+    # pair3 = the 3-bit-native split-plane layout (0.75x int4 bytes, no
+    # K padding); 'pair' remains the default for every other width.
+    layout = os.environ.get("BENCH_LAYOUT",
+                            "pair3" if nbits == 3 else "pair")
     qparams, _ = random_packed_params(cfg, key, codebook, fuse_qkv=True,
                                       layout=layout)
     qparams = pack_lm_head(cfg, qparams, nbits=8)

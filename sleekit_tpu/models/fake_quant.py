@@ -45,12 +45,20 @@ def _fast_packed_linear(rng: np.ndarray, in_features: int,
     no pack step): uniform random words ARE uniform random indices (every
     payload bit uniform - true in any layout for power-of-two widths).
     Index count is rounded up to the layout's K tile."""
-    from sleekit_tpu.ops.pack import (PLANE_GROUP, pair_group, pair_planes,
+    from sleekit_tpu.ops.pack import (PAIR3_TILE, PAIR3_WORDS, PLANE_GROUP,
+                                      pair_group, pair_planes,
                                       vals_per_word)
 
     nbits = bits_for_codebook(len(codebook))
     vpw = vals_per_word(nbits)
-    if layout == "pair":
+    if layout == "pair3":
+        # Every payload bit is used (16 = 8x2-bit = 16x1-bit per half),
+        # so uniform random words ARE uniform random 3-bit indices.
+        assert nbits == 3
+        n_tiles = -(-in_features // PAIR3_TILE)
+        kw = n_tiles * PAIR3_WORDS
+        vpw = -(-n_tiles * PAIR3_TILE // kw)  # fallback row bound only
+    elif layout == "pair":
         hp, pg = pair_planes(nbits), pair_group(nbits)
         bk = 2 * pg * hp
         kw = -(-in_features // bk) * pg

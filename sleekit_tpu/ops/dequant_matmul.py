@@ -33,6 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sleekit_tpu.ops.pack import (
+    PAIR3_LO_WORDS,
+    PAIR3_TILE,
+    PAIR3_WORDS,
     PLANE_GROUP,
     PackedLinear,
     pack_indices,
@@ -142,7 +145,8 @@ def _mantissa_kernel(x_ref, w_ref, o_ref, *, nbits, vpw, compute_dtype,
 
 def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
                  pre=None, eps=1e-5, k_valid=0, has_ln_b=False,
-                 use_res=False, stacked=False, int8_mode=False):
+                 use_res=False, stacked=False, int8_mode=False,
+                 pair3=False):
     """Mantissa dequant over the bf16-PAIR layout: 2 values per VPU op.
 
     Each int32 word holds ``2*hp`` indices - ``hp`` bit planes in each
@@ -212,7 +216,7 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
         mlow = ((1 << nbits) - 1) << (7 - nbits)
         mask = jnp.int32(mlow | (mlow << 16))
         one = jnp.int32(0x3F803F80)
-    bk = 2 * pg * hp
+    bk = PAIR3_TILE if pair3 else 2 * pg * hp
     if pre in ("layernorm", "rmsnorm"):
         x32 = x_ref[:].astype(jnp.float32)
         kp = x32.shape[1]
@@ -254,6 +258,38 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
                               preferred_element_type=jnp.float32)
     for t in range(kb if not int8_mode else 0):
         words = words_all[t * pg:(t + 1) * pg]
+        if pair3:
+            # 3-bit-native tile: 2-bit low plane (16 words) + 1-bit high
+            # plane (8 words) per 256 K rows (ops/pack.py pair3). Both
+            # planes expand by the same one-shift-per-bf16-PAIR mantissa
+            # trick; the weighted recombination idx = lo + 4*hi is folded
+            # into the epilogue: with c_lo = 1 + lo/4 and c_hi = 1 + hi/2,
+            #   x @ W = 4*step*[x@c_lo + (2x)@c_hi] + (zero-12*step)*rs
+            # so a_aff = 4*step, b_aff = zero - 12*step (dispatch below).
+            wlo = words[:PAIR3_LO_WORDS]
+            whi = words[PAIR3_LO_WORDS:]
+            m_lo = jnp.int32(0x60 | (0x60 << 16))
+            m_hi = jnp.int32(0x40 | (0x40 << 16))
+            planes = []
+            for j in range(8):
+                s = 5 - 2 * j
+                w = (lax.shift_left(wlo, jnp.int32(s)) if s >= 0
+                     else lax.shift_right_logical(wlo, jnp.int32(-s)))
+                planes.append(pltpu.bitcast((w & m_lo) | one, jnp.bfloat16))
+            c_lo = jnp.concatenate(planes, axis=0)         # (256, BN)
+            planes = []
+            for j in range(16):
+                s = 6 - j
+                w = (lax.shift_left(whi, jnp.int32(s)) if s >= 0
+                     else lax.shift_right_logical(whi, jnp.int32(-s)))
+                planes.append(pltpu.bitcast((w & m_hi) | one, jnp.bfloat16))
+            c_hi = jnp.concatenate(planes, axis=0)         # (256, BN)
+            xb = x[:, t * bk:(t + 1) * bk]
+            acc_ref[:] += jnp.dot(xb, c_lo,
+                                  preferred_element_type=jnp.float32)
+            acc_ref[:] += jnp.dot(xb + xb, c_hi,
+                                  preferred_element_type=jnp.float32)
+            continue
         planes = []
         for j in range(hp):
             s = (7 - nbits) - nbits * j
@@ -302,17 +338,21 @@ def _round_up(x: int, m: int) -> int:
 PAIR_TUNE = {"kb": 0, "split": False, "dim_sem": False, "bn": 0}
 
 
-def _pair_kb(nbits: int, kb: int) -> int:
-    return kb if kb > 0 else max(1, 256 // pair_group(nbits))
+def _pair_kb(nbits: int, kb: int, pair3: bool = False) -> int:
+    if kb > 0:
+        return kb
+    if pair3:
+        return max(1, 256 // PAIR3_WORDS)
+    return max(1, 256 // pair_group(nbits))
 
 
 @functools.partial(jax.jit, static_argnames=(
     "nbits", "affine_a", "affine_b", "block_n", "interpret",
-    "kb", "split", "dim_sem", "bn", "pre", "eps"))
+    "kb", "split", "dim_sem", "bn", "pre", "eps", "pair3"))
 def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
                       residual=None, layer=None, *, nbits, affine_a,
                       affine_b, block_n, interpret, kb=1, split=False,
-                      dim_sem=False, bn=0, pre=None, eps=1e-5):
+                      dim_sem=False, bn=0, pre=None, eps=1e-5, pair3=False):
     if bn > 0:
         block_n = bn
     m, k = x.shape
@@ -321,9 +361,18 @@ def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
         k //= 2  # x holds [gate | up]; the dot contracts over k
     stacked = packed.ndim == 3
     kw, n = packed.shape[-2:]
-    hp, pg = pair_planes(nbits), pair_group(nbits)
-    kb = _pair_kb(nbits, kb)
-    bk = 2 * pg * hp
+    if pair3:
+        hp, pg, split = 0, PAIR3_WORDS, False
+    else:
+        hp, pg = pair_planes(nbits), pair_group(nbits)
+    kb = _pair_kb(nbits, kb, pair3)
+    bk = PAIR3_TILE if pair3 else 2 * pg * hp
+    if pair3:
+        # Shrink kb until the grid-step granularity divides the packed
+        # word rows - pair3 exists to kill K padding, so never pad it
+        # back in at the grid level (e.g. 8 tiles for K=2048).
+        while kw % (kb * pg) and kb > 1:
+            kb -= 1
     if pre in ("layernorm", "rmsnorm"):
         # Normalization needs the FULL K row in one grid step.
         kb = -(-kw // pg)
@@ -367,7 +416,7 @@ def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
                                kb=kb, split=split, pre=pre, eps=eps,
                                k_valid=k, has_ln_b=ln_bias is not None,
                                use_res=residual is not None,
-                               stacked=stacked)
+                               stacked=stacked, pair3=pair3)
 
     # With scalar prefetch (stacked mode) every index map takes the layer
     # scalar ref as a trailing arg; the weight map addresses the (L, kw,
@@ -531,6 +580,18 @@ def _int8_affine(w: PackedLinear):
     return step, zero + 128.0 * step
 
 
+def _pair_affine(w: PackedLinear):
+    """Epilogue constants (a_aff, b_aff) of out = (a*acc + b*rowsum) *
+    scale + bias for the bf16-pair layouts (see _pair_kernel)."""
+    step, zero = w.affine
+    if w.layout == "pair3":
+        # acc = x@c_lo + (2x)@c_hi with c_lo = 1+lo/4, c_hi = 1+hi/2 and
+        # idx = lo + 4*hi: x@W = 4*step*acc + (zero - 12*step)*rowsum.
+        return 4.0 * step, zero - 12.0 * step
+    a = step * float(2 ** w.nbits)
+    return a, zero - a
+
+
 @functools.partial(jax.jit, static_argnames=(
     "nbits", "vpw", "in_features", "affine", "block_n", "interpret"))
 def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
@@ -629,7 +690,7 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
     assert w.k_splits == 1, (
         "split_packed_k matrices are a TP sharding format; localize the "
         "shard (ops/pack.localize_packed_shard) before the matmul")
-    if w.layout == "pair":
+    if w.layout in ("pair", "pair3"):
         # bf16-pair fast path: exact while the index fits the bf16
         # mantissa and the codebook is affine (uniform); anything else
         # should be packed with layout='plane'. The kernel computes in
@@ -637,12 +698,12 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
         # instead (the serving hot path is bf16).
         if (w.affine is not None and w.nbits <= 7
                 and x.dtype == jnp.bfloat16):
-            step, zero = w.affine
-            a = step * float(2 ** w.nbits)
+            a, b = _pair_affine(w)
             return _pallas_pair_impl(
                 x, w.packed, w.scale, w.bias, layer=w.layer_sel,
-                nbits=w.nbits, affine_a=a, affine_b=zero - a,
-                block_n=block_n, interpret=interpret, **PAIR_TUNE)
+                nbits=w.nbits, affine_a=a, affine_b=b,
+                block_n=block_n, interpret=interpret,
+                pair3=w.layout == "pair3", **PAIR_TUNE)
         return dequant_matmul_xla(x, w)
     if w.layout == "int8":
         if (w.affine is not None and x.dtype == jnp.bfloat16
@@ -682,7 +743,7 @@ def quantized_matmul(x: jnp.ndarray, w: PackedLinear,
 def can_fuse_glue(x: jnp.ndarray, w: PackedLinear) -> bool:
     """Whether the decode-glue fusion (pre-norm / pre-activation /
     residual inside the kernel) applies to this matmul."""
-    ok_pair = w.layout == "pair" and w.nbits <= 7
+    ok_pair = w.layout in ("pair", "pair3") and w.nbits <= 7
     ok_int8 = (w.layout == "int8" and w.nbits == 8
                and w.layer_sel is None)
     return ((ok_pair or ok_int8) and w.affine is not None
@@ -714,13 +775,12 @@ def fused_quantized_matmul(x: jnp.ndarray, w: PackedLinear, *,
                 x, w.packed, w.scale, w.bias, ln_scale, ln_bias, residual,
                 affine_a=a, affine_b=b, block_n=1024, interpret=interpret,
                 pre=pre, eps=eps, out_n=w.out_features)
-        step, zero = w.affine
-        a = step * float(2 ** w.nbits)
+        a, b = _pair_affine(w)
         return _pallas_pair_impl(
             x, w.packed, w.scale, w.bias, ln_scale, ln_bias, residual,
-            w.layer_sel, nbits=w.nbits, affine_a=a, affine_b=zero - a,
+            w.layer_sel, nbits=w.nbits, affine_a=a, affine_b=b,
             block_n=1024, interpret=interpret, pre=pre, eps=eps,
-            **PAIR_TUNE)
+            pair3=w.layout == "pair3", **PAIR_TUNE)
     h32 = x.astype(jnp.float32)
     if pre == "layernorm":
         mu = jnp.mean(h32, axis=-1, keepdims=True)

@@ -69,7 +69,23 @@ PLANE_GROUP = 32
 # Word-row group size of the pair layout (below).
 PAIR_GROUP = 32
 
-LAYOUTS = ("linear", "plane", "pair", "int8")
+LAYOUTS = ("linear", "plane", "pair", "pair3", "int8")
+
+# 'pair3' (3-bit native): each 3-bit index splits into a 2-bit low plane
+# and a 1-bit high plane, each stored in its own bf16-pair arrangement
+# inside a 256-K-row tile of 24 word rows (16 low + 8 high). Why: the
+# plain 'pair' layout at 3-bit needs 640-row tiles (10 values/word x
+# doubled group for 128-lane alignment), so K=2048 pads 25% - an int3
+# matrix stored EXACTLY as many bytes as int4 plus 25% wasted MXU/VPU
+# work (round-3 bench: int3 SLOWER than int4, VERDICT.md missing #2).
+# pair3 tiles are 256 rows -> zero padding for every zoo geometry and
+# TP shards down to K/n = 256, and the byte ratio is the true 24/32 =
+# 0.75x of int4. Dequant stays one shift+and+or per bf16 PAIR per plane:
+#   c_lo = 1 + lo/4   (2-bit mantissa),  c_hi = 1 + hi/2   (1-bit)
+#   x @ W = 4*step*[x@c_lo + 2*(x@c_hi)] + (zero - 12*step)*rowsum(x)
+PAIR3_TILE = 256           # K rows per tile
+PAIR3_WORDS = 24           # word rows per tile (16 low + 8 high)
+PAIR3_LO_WORDS = 16
 
 
 def pair_planes(nbits: int) -> int:
@@ -136,6 +152,28 @@ def pack_indices(idx: jnp.ndarray, nbits: int,
                         axis=(1, 3), dtype=jnp.uint32)
         words = words.reshape(k_pad // bk * pg, n)
         return jax.lax.bitcast_convert_type(words, jnp.int32)
+    if layout == "pair3":
+        assert nbits == 3, "pair3 is the 3-bit-native layout"
+        bk = PAIR3_TILE
+        k_pad = -(-k // bk) * bk
+        idx = jnp.pad(idx.astype(jnp.uint32), ((0, k_pad - k), (0, 0)))
+        nt = k_pad // bk
+        lo, hi = idx & 3, idx >> 2
+        # low plane: 2-bit pair, pg=16, hp=8: k_local = j*32 + 2*p + h
+        tl = lo.reshape(nt, bk, n).reshape(nt, 8, 16, 2, n)
+        sl = (16 * jnp.arange(2, dtype=jnp.uint32)[None, :]
+              + 2 * jnp.arange(8, dtype=jnp.uint32)[:, None])
+        wlo = jnp.sum(tl << sl[None, :, None, :, None], axis=(1, 3),
+                      dtype=jnp.uint32)                    # (nt, 16, n)
+        # high plane: 1-bit pair, pg=8, hp=16: k_local = j*16 + 2*p + h
+        th = hi.reshape(nt, bk, n).reshape(nt, 16, 8, 2, n)
+        sh = (16 * jnp.arange(2, dtype=jnp.uint32)[None, :]
+              + jnp.arange(16, dtype=jnp.uint32)[:, None])
+        whi = jnp.sum(th << sh[None, :, None, :, None], axis=(1, 3),
+                      dtype=jnp.uint32)                    # (nt, 8, n)
+        words = jnp.concatenate([wlo, whi], axis=1)
+        words = words.reshape(nt * PAIR3_WORDS, n)
+        return jax.lax.bitcast_convert_type(words, jnp.int32)
     vpw = vals_per_word(nbits)
     if layout == "linear":
         k_pad = -(-k // vpw) * vpw
@@ -162,6 +200,22 @@ def unpack_indices(packed: jnp.ndarray, nbits: int, k: int,
     if layout == "int8":
         return packed[:k].astype(jnp.int32) + 128
     mask = jnp.int32((1 << nbits) - 1)
+    if layout == "pair3":
+        nt = kw // PAIR3_WORDS
+        tiles = packed.reshape(nt, PAIR3_WORDS, n)
+        wlo = tiles[:, :PAIR3_LO_WORDS]                    # (nt, 16, n)
+        whi = tiles[:, PAIR3_LO_WORDS:]                    # (nt, 8, n)
+        sl = (16 * jnp.arange(2, dtype=jnp.int32)[None, :]
+              + 2 * jnp.arange(8, dtype=jnp.int32)[:, None])
+        lo = jax.lax.shift_right_logical(
+            wlo[:, None, None], sl[None, :, :, None, None]) & 3
+        lo = lo.transpose(0, 1, 3, 2, 4).reshape(nt * PAIR3_TILE, n)
+        sh = (16 * jnp.arange(2, dtype=jnp.int32)[None, :]
+              + jnp.arange(16, dtype=jnp.int32)[:, None])
+        hi = jax.lax.shift_right_logical(
+            whi[:, None, None], sh[None, :, :, None, None]) & 1
+        hi = hi.transpose(0, 1, 3, 2, 4).reshape(nt * PAIR3_TILE, n)
+        return (lo + 4 * hi)[:k]
     if layout == "pair":
         hp, pg = pair_planes(nbits), pair_group(nbits)
         shifts = (16 * jnp.arange(2, dtype=jnp.int32)[None, :]
@@ -349,7 +403,8 @@ def pack_quantized(
     nbits = bits_for_codebook(int(lut.shape[0]))
     if layout == "auto":
         aff = affine_from_lut(lut) is not None
-        layout = ("pair" if aff and nbits <= 7
+        layout = ("pair3" if aff and nbits == 3
+                  else "pair" if aff and nbits <= 7
                   else "int8" if aff and nbits == 8 else "plane")
     packed = pack_indices(idx.T, nbits, layout=layout)  # serving layout (K, N)
     scale = jnp.asarray(scale, jnp.float32)
