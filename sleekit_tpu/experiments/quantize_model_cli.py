@@ -122,42 +122,76 @@ def main(argv=None):
         # copy + flipped Cholesky + grid-scaling temps + dequantized
         # solution; 2.3 GB measured insufficient for OPT-1.3B fc2).
         budget = limit - 3.5e9
+        def _w_est(k):
+            # Solve-workspace estimate: ~3.5 GB measured for K=8192
+            # (Hessian copy + flipped Cholesky + grid temps + solution),
+            # scaling ~K^2, floored for fixed overheads.
+            return max(0.5e9, 3.5e9 * (k / 8192.0) ** 2)
+
+        # quantize_model solves SMALLEST-K layers first and frees each
+        # layer's stats on completion, so the peak is max over the solve
+        # order of params + remaining stats + that layer's workspace -
+        # the big-workspace layers run last against a shrunken pool.
+        # Simulate that peak; only shed to the host when it truly does
+        # not fit (the round-3 blanket shed cost 190 s of idle-TPU D2H
+        # on OPT-1.3B that this analysis proves unnecessary).
+        order = sorted(stats, key=lambda n: stats[n].hessian.size)
+        s_rem = sum(_tree_bytes(stats[n]) for n in order)
+        p_bytes = _tree_bytes(params)
+        peak = 0.0
+        for n in order:
+            k = stats[n].hessian.shape[-1]
+            peak = max(peak, p_bytes + s_rem + _w_est(k))
+            s_rem -= _tree_bytes(stats[n])
+        margin = 0.5e9
         if args.offload_stats == "always":
             with timer.section("stats_offload"):
                 stats = jax.device_get(stats)
             print(f"stats offloaded to host ({_tree_bytes(stats) / 1e9:.2f}"
                   " GB, --offload-stats=always)", flush=True)
-        elif args.offload_stats == "auto" and need > budget:
-            # Shed only the largest Hessians (host RAM), keeping the rest
-            # on device; the solve loop prefetches host entries one layer
-            # ahead so their H2D rides under the previous solve.
-            order = sorted(stats, key=lambda n: -stats[n].hessian.nbytes)
+        elif args.offload_stats == "auto" and peak + margin > limit:
+            # Shed the largest Hessians - but drain them to the host in
+            # a BACKGROUND thread overlapped with the solves (the solve
+            # loop uses a still-on-device entry directly and device_puts
+            # host entries one layer ahead). The host stays idle during
+            # solves, so the D2H rides the otherwise-dead tunnel time.
             shed = []
-            max_shed = 0
-            for name in order:
-                # During the solve loop up to TWO shed entries are
-                # transiently back on device (current layer + the
-                # prefetched next one); budget for them on top of the
-                # steady state or large models re-trigger
-                # RESOURCE_EXHAUSTED (advisor round 2).
-                if need + 2 * max_shed <= budget:
+            shed_bytes = 0.0
+            max_shed = 0.0
+            for name in reversed(order):  # largest first
+                # Up to TWO shed entries are transiently back on device
+                # during their own solves (current + prefetched next).
+                if peak + margin - shed_bytes + 2 * max_shed <= limit:
                     break
-                entry_bytes = _tree_bytes(stats[name])
-                need -= entry_bytes
-                max_shed = max(max_shed, entry_bytes)
+                eb = _tree_bytes(stats[name])
+                shed_bytes += eb
+                max_shed = max(max_shed, eb)
                 shed.append(name)
+
+            import threading
+
+            def _drain():
+                # ONE batched device_get (per-entry fetches serialize
+                # through the axon tunnel); replace entries still
+                # pending so their device buffers free as solves and
+                # the drain race forward together.
+                fetched = jax.device_get(
+                    {n: stats[n] for n in shed if n in stats})
+                for n, v in fetched.items():
+                    if n in stats:
+                        stats[n] = v
+
+            t = threading.Thread(target=_drain, daemon=True)
             with timer.section("stats_offload"):
-                # ONE batched device_get: per-entry fetches serialize
-                # D2H through the axon tunnel (~175 s for 1.8 GB in the
-                # round-3 light run vs ~55 s transfer-bound).
-                fetched = jax.device_get({n: stats[n] for n in shed})
-                stats.update(fetched)
-            print(f"selective offload: {len(shed)}/{len(stats)} stats "
-                  f"entries to host; {need / 1e9:.2f} GB stay on-device "
-                  f"(HBM {limit / 1e9:.2f} GB)", flush=True)
+                t.start()
+            print(f"background offload started: {len(shed)}/{len(stats)} "
+                  f"stats entries ({shed_bytes / 1e9:.2f} GB) draining "
+                  f"under the solves (simulated peak {peak / 1e9:.2f} GB "
+                  f"> HBM {limit / 1e9:.2f} GB)", flush=True)
         else:
-            print(f"stats+params {need / 1e9:.2f} GB on device "
-                  f"(HBM {limit / 1e9:.2f} GB, no offload)", flush=True)
+            print(f"stats+params {need / 1e9:.2f} GB on device; simulated "
+                  f"solve peak {peak / 1e9:.2f} GB fits HBM "
+                  f"{limit / 1e9:.2f} GB - no offload", flush=True)
     with timer.section("quantize"):
         qparams, reports = quantize_model(cfg, params, stats, qconfig,
                                           pack=args.pack, verbose=True,
@@ -171,13 +205,26 @@ def main(argv=None):
     print(f"\n{len(reports)} layers quantized; total layer error "
           f"{total_err:.6g}")
     if args.eval_ppl:
+        from sleekit_tpu.models.eval import decode_perplexity
+
         held = stream[args.samples * args.seq_len:]
         ev = list(chunk_tokens(held, args.seq_len, args.batch))
         with timer.section("eval_ppl"):
+            # Three-way acceptance loop (BASELINE.md <= 0.1 ppl gate):
+            # fp32 / quantized-forward / quantized through the DECODE
+            # path (the packed serving kernels' route). The last two are
+            # the same numbers by contract; disagreement means a serving
+            # kernel drifted from the pipeline.
             ppl_ref = perplexity(cfg, params, ev)
             ppl_q = perplexity(cfg, qparams, ev)
+            ppl_dec = decode_perplexity(cfg, qparams, ev)
         print(f"perplexity: fp32 {ppl_ref:.4f} -> quantized {ppl_q:.4f} "
-              f"(delta {ppl_q - ppl_ref:+.4f})")
+              f"(delta {ppl_q - ppl_ref:+.4f}); decode-scored "
+              f"{ppl_dec:.4f} (forward-vs-decode "
+              f"{ppl_dec - ppl_q:+.5f})")
+        if abs(ppl_dec - ppl_q) > 0.01:
+            print("WARNING: packed decode path disagrees with the "
+                  "fake-quant forward by more than 0.01 ppl", flush=True)
     print(timer.dump())
     print(f"checkpoint -> {args.out}")
 
