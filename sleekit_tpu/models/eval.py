@@ -45,6 +45,48 @@ def perplexity(cfg: TransformerConfig, params,
     return float(np.exp(total / max(count, 1)))
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def _decode_nll_step(cfg: TransformerConfig, params, tokens, cache):
+    """Teacher-forced NLL of one (B, T) batch scored through the DECODE
+    path (KV cache + per-token decode_step - the packed serving kernels'
+    route), not the parallel forward. Exists so the acceptance gate can
+    assert the packed Engine's perplexity equals the fake-quant
+    pipeline's (VERDICT round-3 ask 4: nothing previously checked that
+    the two paths that must agree actually do)."""
+
+    def body(carry, tok_next):
+        cache, pos, cur = carry
+        logits, cache = decode_step(cfg, params, cur[:, None], cache, pos)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, tok_next[:, None], axis=1)[:, 0]
+        return (cache, pos + 1, tok_next), nll
+
+    (cache, _, _), nlls = jax.lax.scan(
+        body, (cache, jnp.int32(0), tokens[:, 0]),
+        jnp.transpose(tokens[:, 1:]))
+    return jnp.sum(nlls), nlls.size
+
+
+def decode_perplexity(cfg: TransformerConfig, params,
+                      batches: Iterable[jnp.ndarray],
+                      cache_dtype=jnp.float32,
+                      scale_dtype=jnp.float32) -> float:
+    """Corpus perplexity scored token-by-token through the decode/KV-cache
+    path (same kernels the serving Engine runs). Must agree with
+    :func:`perplexity` on the same params to well under the 0.1-ppl
+    acceptance bar (tests/test_quality.py pins <= 0.01)."""
+    total, count = 0.0, 0
+    for tokens in batches:
+        tokens = jnp.asarray(tokens)
+        cache = init_kv_cache(cfg, int(tokens.shape[0]),
+                              int(tokens.shape[1]), dtype=cache_dtype,
+                              scale_dtype=scale_dtype)
+        s, c = _decode_nll_step(cfg, params, tokens, cache)
+        total += float(s)
+        count += int(c)
+    return float(np.exp(total / max(count, 1)))
+
+
 def chunk_tokens(token_stream: np.ndarray, seq_len: int,
                  batch_size: int = 1) -> Iterable[np.ndarray]:
     """Split a flat token array into (batch, seq_len) eval windows."""

@@ -89,3 +89,44 @@ def test_packed_serving_is_lossless():
     a = np.asarray(forward(cfg, dense_q, tokens))
     b = np.asarray(forward(cfg, packed_q, tokens))
     assert np.allclose(a, b, rtol=1e-5, atol=1e-5), np.abs(a - b).max()
+
+
+def test_three_way_ppl_acceptance_loop():
+    """The BASELINE ppl acceptance gate, closed end-to-end in-repo
+    (VERDICT round-3 ask 4): quantize a tiny model light@4bit and score
+    perplexity three ways -
+      (a) fp32 dense,
+      (b) fake-quant (dequantized dense weights, parallel forward),
+      (c) PACKED params through the decode/KV-cache path (the serving
+          Engine's route).
+    (b) and (c) are supposed to be the same numbers: assert <= 0.01 ppl;
+    and the quantized ppl stays within a sane band of fp32."""
+    from sleekit_tpu.models.eval import (chunk_tokens, decode_perplexity,
+                                         perplexity)
+    from sleekit_tpu.pipeline import preset_config
+
+    cfg = tiny_test()
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.RandomState(7)
+    stream = rng.randint(0, cfg.vocab_size, (400,)).astype(np.int32)
+    calib = [rng.randint(0, cfg.vocab_size, (2, 32)).astype(np.int32)
+             for _ in range(3)]
+    stats = calibrate(cfg, params, calib)
+    qcfg = preset_config("light", nbits=4)
+    fake, _ = quantize_model(cfg, params, dict(stats), qcfg, pack=False)
+    packed, _ = quantize_model(cfg, params, dict(stats), qcfg, pack=True)
+    batches = list(chunk_tokens(stream, 32, 2))
+
+    ppl_fp = perplexity(cfg, params, batches)
+    ppl_fake = perplexity(cfg, fake, batches)
+    ppl_packed_fwd = perplexity(cfg, packed, batches)
+    ppl_packed_dec = decode_perplexity(cfg, packed, batches)
+
+    # The packed decode path == the fake-quant pipeline (same weights,
+    # same math contract; kernels must not drift).
+    assert abs(ppl_packed_dec - ppl_fake) <= 0.01, (ppl_fake, ppl_packed_dec)
+    assert abs(ppl_packed_fwd - ppl_fake) <= 0.01, (ppl_fake, ppl_packed_fwd)
+    # Quantization moves ppl but must stay in a sane band on this tiny
+    # random-init model (guards catastrophe, not the 0.1-ppl real-model
+    # gate - that needs checkpoints, tools/reproduce_real_models.py).
+    assert ppl_fake < ppl_fp * 1.5 + 1.0, (ppl_fp, ppl_fake)
