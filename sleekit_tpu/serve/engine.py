@@ -147,31 +147,53 @@ class Engine:
         self.paged = paged
         self.mesh = mesh
         self._tp = mesh is not None and mesh.shape.get("model", 1) > 1
+        # Multi-PROCESS serving (the mesh spans OS processes/hosts): every
+        # rank runs the engine's host loop in lockstep on identical
+        # request state, so host->device inputs must be fully-replicated
+        # GLOBAL arrays (see _g) and device->host fetches read the local
+        # replica of replicated outputs. data must be 1: slots shard over
+        # 'data', and a cross-process data axis would leave each rank
+        # unable to read the other ranks' sampled tokens.
+        self._multiproc = mesh is not None and jax.process_count() > 1
+        if self._multiproc:
+            assert mesh.shape.get("data", 1) == 1, (
+                "multi-process Engine serves TP over the process boundary "
+                "with data=1; run one engine per data replica instead")
+            assert not paged, "paged pool not supported multi-process yet"
         if self._tp:
             assert max_slots % mesh.shape.get("data", 1) == 0
-            # Paged pools shard the kv-head axis over 'model' and have no
-            # batch axis to put on 'data'; data-parallel paged serving
-            # replicates the engine (pool included) per replica instead
-            # (mesh.kv_cache_specs).
-            assert not paged or mesh.shape.get("data", 1) == 1, (
-                "paged KV under TP requires a data=1 mesh; replicate the "
-                "engine per data shard instead")
         if paged:
             assert max_seq_len % page_size == 0
             self.page_size = page_size
             self.max_pages = max_seq_len // page_size
+            # The page pool splits into one independent sub-pool per
+            # 'data' replica (pool page axis sharded over 'data',
+            # mesh.kv_cache_specs): slots of replica r allocate from
+            # sub-pool r and the page table stores REPLICA-LOCAL ids, so
+            # every replica's shard_map kernels see a self-consistent
+            # local pool. Single replica == the old flat pool.
+            self._n_rep = (mesh.shape.get("data", 1)
+                           if mesh is not None else 1)
+            assert max_slots % self._n_rep == 0
             # Default pool = half the dense reservation: the whole point
             # of paging is that mixed-length sequences rarely need the
             # worst case. Admission blocks (queues) when the pool is dry.
             self.total_pages = total_pages or max(
-                self.max_pages, max_slots * self.max_pages // 2)
+                (self.max_pages + 1) * self._n_rep,
+                max_slots * self.max_pages // 2)
+            self.total_pages += (-self.total_pages) % self._n_rep
+            self._pages_local = self.total_pages // self._n_rep
+            # +1: local page 0 is the replica's reserved trash page.
+            assert self._pages_local >= self.max_pages + 1, (
+                "page pool smaller than one max-length sequence/replica")
             self.cache = init_paged_kv_cache(
                 cfg, self.total_pages, page_size, max_slots,
                 self.max_pages, cache_dtype)
-            # Page 0 is the reserved trash page: inactive slots' table
-            # rows point at it, so their garbage decode appends never
-            # touch pages owned by live sequences.
-            self._free_pages = list(range(1, self.total_pages))
+            # LOCAL page 0 of every replica is its reserved trash page:
+            # inactive slots' all-zero table rows point at it, so their
+            # garbage decode appends never touch live pages.
+            self._free_pages = [list(range(1, self._pages_local))
+                                for _ in range(self._n_rep)]
             self._slot_pages: Dict[int, List[int]] = {}
         else:
             self.cache = init_kv_cache(cfg, max_slots, max_seq_len,
@@ -259,6 +281,31 @@ class Engine:
         self.finished: List[Completion] = []
         self._next_id = 0
 
+    # ---- host<->device helpers ----------------------------------------
+
+    def _g(self, x, dtype=None):
+        """Host value -> device array. In multi-process mode, a fully
+        replicated GLOBAL array (every rank holds identical host state,
+        so local data IS the full array)."""
+        if not self._multiproc:
+            return jnp.asarray(x) if dtype is None else jnp.asarray(x, dtype)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        arr = np.asarray(x, dtype)
+        sh = NamedSharding(self.mesh, P())
+        return jax.make_array_from_process_local_data(sh, arr, arr.shape)
+
+    def _g_tree(self, tree):
+        return jax.tree_util.tree_map(self._g, tree) if self._multiproc \
+            else tree
+
+    @staticmethod
+    def _fetch(arr) -> np.ndarray:
+        """Device -> host: replicated global arrays read their local
+        replica (np.asarray requires full replication - true for all
+        engine outputs under data=1)."""
+        return np.asarray(arr)
+
     # ---- public API ---------------------------------------------------
 
     def submit(self, req: Request) -> int:
@@ -307,28 +354,28 @@ class Engine:
         uniq = {int(pos_np[i]) for i in active}
         if len(uniq) == 1 and not self._tp:
             return jnp.int32(next(iter(uniq)))
-        return jnp.asarray(pos_np, jnp.int32)
+        return self._g(pos_np, np.int32)
 
     def _step_fused(self, active, k: int) -> None:
-        last = jnp.asarray(self.slot_last, jnp.int32)
+        last = self._g(self.slot_last, np.int32)
         pos = self._slot_pos_arg(active)
         reqs = [self.slot_req[i] for i in range(self.max_slots)]
         if any(r and r.temperature > 0 for r in reqs):
-            temps = jnp.asarray(
-                [r.temperature if r else 0.0 for r in reqs], jnp.float32)
-            tks = jnp.asarray([r.top_k if r else 0 for r in reqs],
-                              jnp.int32)
-            tps = jnp.asarray([r.top_p if r else 1.0 for r in reqs],
-                              jnp.float32)
+            temps = self._g(
+                [r.temperature if r else 0.0 for r in reqs], np.float32)
+            tks = self._g([r.top_k if r else 0 for r in reqs], np.int32)
+            tps = self._g([r.top_p if r else 1.0 for r in reqs],
+                          np.float32)
             use_topkp = any(r and (r.top_k > 0 or r.top_p < 1.0)
                             for r in reqs)
-            toks, self.cache, _, _, self.key = self._decode_scan_sampled(
+            toks, self.cache, _, _, key = self._decode_scan_sampled(
                 self.cfg, self.params, self.cache, last, pos, k, temps,
-                tks, tps, self.key, use_topkp)
+                tks, tps, self._g(self.key), use_topkp)
+            self.key = jnp.asarray(self._fetch(key))
         else:
             toks, self.cache, _, _ = self._decode_scan(
                 self.cfg, self.params, self.cache, last, pos, k)
-        toks = np.asarray(toks)  # (slots, k)
+        toks = self._fetch(toks)  # (slots, k)
         for slot in active:
             req = self.slot_req[slot]
             emitted = toks[slot].tolist()
@@ -349,6 +396,9 @@ class Engine:
         total = len(req.prompt) + req.max_new_tokens
         return -(-total // self.page_size)
 
+    def _slot_replica(self, slot: int) -> int:
+        return slot // (self.max_slots // self._n_rep)
+
     def _admit(self) -> None:
         """Admit queued requests into free slots, batching the prefill:
         one device program per (padded-count, length-bucket) group instead
@@ -361,9 +411,11 @@ class Engine:
                 break
             if self.paged:
                 needed = self._pages_needed(self.queue[0])
-                if needed > len(self._free_pages):
-                    break
-                pages = [self._free_pages.pop() for _ in range(needed)]
+                rep = self._slot_replica(slot)
+                if needed > len(self._free_pages[rep]):
+                    continue  # this replica's pool is dry; try other slots
+                pages = [self._free_pages[rep].pop()
+                         for _ in range(needed)]
                 self._slot_pages[slot] = pages
                 row = np.zeros(self.max_pages, np.int32)
                 row[:needed] = pages
@@ -389,23 +441,25 @@ class Engine:
                 prompt = np.asarray(req.prompt, np.int32)
                 padded[r, :len(prompt)] = prompt
                 lengths.append(len(prompt))
-            tmp_cache = init_kv_cache(self.cfg, rows, bucket, self.cache_dtype)
+            tmp_cache = self._g_tree(
+                init_kv_cache(self.cfg, rows, bucket, self.cache_dtype))
             logits, tmp_cache = self._prefill(
-                self.cfg, self.params, jnp.asarray(padded), tmp_cache)
+                self.cfg, self.params, self._g(padded), tmp_cache)
             # First generated token comes from the last REAL prompt position.
             last_logits = jnp.stack(
                 [logits[r, lengths[r] - 1] for r in range(len(items))])
-            temps = jnp.asarray([req.temperature for _, req in items],
-                                jnp.float32)
+            temps = self._g([req.temperature for _, req in items],
+                            np.float32)
             self.key, sub = jax.random.split(self.key)
             if any(req.top_k > 0 or req.top_p < 1.0 for _, req in items):
-                tks = jnp.asarray([req.top_k for _, req in items], jnp.int32)
-                tps = jnp.asarray([req.top_p for _, req in items],
-                                  jnp.float32)
-                firsts = np.asarray(
-                    _sample_topkp(last_logits, temps, tks, tps, sub))
+                tks = self._g([req.top_k for _, req in items], np.int32)
+                tps = self._g([req.top_p for _, req in items], np.float32)
+                firsts = self._fetch(
+                    _sample_topkp(last_logits, temps, tks, tps,
+                                  self._g(sub)))
             else:
-                firsts = np.asarray(_sample(last_logits, temps, sub))
+                firsts = self._fetch(_sample(last_logits, temps,
+                                             self._g(sub)))
             for r, (slot, req) in enumerate(items):
                 # Batch axis is 1 in the stacked scan layout ((L, B, ...)),
                 # 0 in the per-layer list layout.
@@ -419,11 +473,14 @@ class Engine:
                                        + [(0, padded_t - bucket)]
                                        + [(0, 0)] * (v.ndim - 4))
                             for k, v in stacked.items()}
+                    page0 = self._slot_replica(slot) * self._pages_local
                     for j in range(n_pages):
+                        # table ids are replica-local; the jit-level
+                        # splice addresses the GLOBAL pool array.
                         self.cache = _splice_page(
                             self.cfg, stacked, self.cache, jnp.int32(r),
                             jnp.int32(j),
-                            jnp.int32(self._slot_pages[slot][j]),
+                            jnp.int32(page0 + self._slot_pages[slot][j]),
                             self.page_size)
                 else:
                     if self.cfg.scan_layers:
@@ -432,8 +489,9 @@ class Engine:
                     else:
                         row_cache = jax.tree_util.tree_map(
                             lambda x, r=r: x[r:r + 1], tmp_cache)
-                    self.cache = _splice_cache(self.cfg, row_cache,
-                                               self.cache, jnp.int32(slot))
+                    self.cache = _splice_cache(
+                        self.cfg, row_cache, self.cache,
+                        self._g(slot, np.int32))
                 nxt = int(firsts[r])
                 prompt = np.asarray(req.prompt, np.int32)
                 self.slot_req[slot] = req
@@ -463,9 +521,10 @@ class Engine:
             self.slot_tokens[slot] = []
             self.slot_new[slot] = []
             if self.paged and slot in self._slot_pages:
-                # Return pages to the pool; park the slot on the trash
-                # page so its garbage appends stay harmless.
-                self._free_pages.extend(self._slot_pages.pop(slot))
+                # Return pages to the slot's replica pool; park the slot
+                # on the trash page so its garbage appends stay harmless.
+                self._free_pages[self._slot_replica(slot)].extend(
+                    self._slot_pages.pop(slot))
                 self.cache["page_table"] = (
                     self.cache["page_table"].at[slot].set(
                         jnp.zeros(self.max_pages, jnp.int32)))
@@ -477,23 +536,23 @@ class Engine:
         active = [i for i, r in enumerate(self.slot_req) if r is not None]
         if not active:
             return
-        tokens = jnp.asarray(self.slot_last[:, None], jnp.int32)
+        tokens = self._g(self.slot_last[:, None], np.int32)
         # Inactive slots decode garbage into a clamped position; their
         # output is ignored and their cache rows are re-prefilled on admit.
         pos = self._slot_pos_arg(active)
         logits, self.cache = self._decode(self.cfg, self.params, tokens,
                                           self.cache, pos)
         reqs = [self.slot_req[i] for i in range(self.max_slots)]
-        temps = jnp.asarray(
-            [r.temperature if r else 0.0 for r in reqs], jnp.float32)
+        temps = self._g(
+            [r.temperature if r else 0.0 for r in reqs], np.float32)
         self.key, sub = jax.random.split(self.key)
         if any(r and (r.top_k > 0 or r.top_p < 1.0) for r in reqs):
-            tks = jnp.asarray([r.top_k if r else 0 for r in reqs], jnp.int32)
-            tps = jnp.asarray([r.top_p if r else 1.0 for r in reqs],
-                              jnp.float32)
-            nxt = np.asarray(_sample_topkp(logits, temps, tks, tps, sub))
+            tks = self._g([r.top_k if r else 0 for r in reqs], np.int32)
+            tps = self._g([r.top_p if r else 1.0 for r in reqs], np.float32)
+            nxt = self._fetch(_sample_topkp(logits, temps, tks, tps,
+                                            self._g(sub)))
         else:
-            nxt = np.asarray(_sample(logits, temps, sub))
+            nxt = self._fetch(_sample(logits, temps, self._g(sub)))
         for slot in active:
             tok = int(nxt[slot])
             self.slot_tokens[slot].append(tok)

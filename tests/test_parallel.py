@@ -126,3 +126,68 @@ def test_finalize_psum_shard_map(mesh):
                        rtol=1e-4, atol=1e-5)
     assert np.allclose(np.asarray(merged.mean), np.asarray(ref.mean),
                        rtol=1e-4, atol=1e-6)
+
+
+def test_comm_model_matches_traced_collectives():
+    """The analytical per-step collective count (comm_model) equals the
+    collectives in the ACTUAL traced TP decode program - the accounting
+    is tied to the code, not to a hand-drawn diagram."""
+    import jax
+    import jax.numpy as jnp
+
+    from sleekit_tpu.codebooks import UniformCodebook
+    from sleekit_tpu.models.fake_quant import random_packed_params
+    from sleekit_tpu.models.quantize import pack_lm_head
+    from sleekit_tpu.models.transformer import init_kv_cache
+    from sleekit_tpu.models.zoo import tiny_test
+    from sleekit_tpu.parallel.comm_model import (
+        count_collectives_in_jaxpr, decode_step_comm)
+    from sleekit_tpu.parallel.mesh import (make_mesh, kv_cache_specs,
+                                           param_specs,
+                                           prepare_params_for_tp,
+                                           shard_pytree)
+    from sleekit_tpu.parallel.tp_decode import tp_decode_step
+
+    cfg = tiny_test(d_model=64, n_heads=4, n_layers=2, d_ff=128,
+                    vocab_size=256)
+    params, _ = random_packed_params(cfg, jax.random.PRNGKey(0),
+                                     UniformCodebook(16, -1.0, 1.0))
+    params = pack_lm_head(cfg, params, nbits=8)
+    tp_params = prepare_params_for_tp(cfg, params, 2)
+    mesh = make_mesh(data=1, model=2)
+    with mesh:
+        tp_sharded = shard_pytree(tp_params, param_specs(cfg, tp_params),
+                                  mesh)
+        cache = init_kv_cache(cfg, 2, 32)
+        cache = shard_pytree(cache, kv_cache_specs(cache), mesh)
+        tokens = jnp.zeros((2, 1), jnp.int32)
+        traced = jax.make_jaxpr(
+            lambda p, t, c: tp_decode_step(cfg, p, t, c, jnp.int32(0),
+                                           mesh))(tp_sharded, tokens, cache)
+    got = count_collectives_in_jaxpr(traced)
+    acct = decode_step_comm(cfg, batch=2, tp=2)
+    n_psum = got.get("psum", 0) + got.get("psum2", 0)
+    n_ag = got.get("all_gather", 0)
+    assert n_psum == 2 * cfg.n_layers, (got, acct)
+    assert n_ag == 1, got
+    assert acct["allreduce_calls"] == n_psum + n_ag
+
+
+def test_comm_model_two_host_accounting():
+    """Serving collective bytes are context-independent and tiny vs the
+    weight stream; the 2-host recipe (data over DCN) carries zero
+    per-step DCN traffic."""
+    from sleekit_tpu.models.zoo import get_config
+    from sleekit_tpu.parallel.comm_model import (decode_step_comm,
+                                                 tp_step_estimate,
+                                                 two_host_recipe)
+
+    cfg = get_config("llama3-8b")
+    acct = decode_step_comm(cfg, batch=8, tp=8)
+    assert acct["allreduce_calls"] == 2 * cfg.n_layers + 1
+    est = tp_step_estimate(cfg, batch=8, tp=8, nbits=4)
+    # ICI collective traffic is ~10 MB/step vs a multi-GB weight stream.
+    assert est["ici_bytes_per_step"] < 0.01 * est["weight_bytes"]
+    assert est["tokens_per_s_speedup"] > 1.0
+    recipe = two_host_recipe(cfg, batch=8, tp=8)
+    assert "DCN collective bytes = 0" in recipe

@@ -135,6 +135,52 @@ def main() -> None:
           f"{np.mean(local.argmax(-1) == ref_rows.argmax(-1)):.2f})",
           flush=True)
 
+    # ---- phase 3: the continuous-batching ENGINE across processes ----
+    # TP over the process boundary (model axis = ALL 4 devices of both
+    # ranks, data=1): both ranks run the engine host loop in lockstep on
+    # identical requests; emitted tokens must equal the single-process
+    # engine, token for token (round-3 VERDICT ask 5 - previously the
+    # multi-host serving claim rested on composition).
+    from sleekit_tpu.parallel.mesh import prepare_params_for_tp
+    from sleekit_tpu.serve.engine import Engine, Request
+
+    def mk_reqs():
+        rng = np.random.RandomState(3)
+        return [
+            Request(prompt=rng.randint(0, cfg.vocab_size, (5,))
+                    .astype(np.int32), max_new_tokens=6),
+            Request(prompt=rng.randint(0, cfg.vocab_size, (9,))
+                    .astype(np.int32), max_new_tokens=6, temperature=0.8),
+            Request(prompt=rng.randint(0, cfg.vocab_size, (3,))
+                    .astype(np.int32), max_new_tokens=4),
+        ]
+
+    # Single-process oracle: local params, no mesh (identical seed).
+    single = Engine(cfg, qparams, max_slots=2, max_seq_len=32)
+    want = [c.new_tokens.tolist() for c in single.run(mk_reqs())]
+
+    mesh4 = global_mesh(model_parallel=jax.device_count())
+    assert mesh4.shape["data"] == 1
+    tp4_params = prepare_params_for_tp(cfg, qparams, jax.device_count())
+    with mesh4:
+        eng = Engine(cfg, tp4_params, max_slots=2, max_seq_len=32,
+                     mesh=mesh4)
+        got = [c.new_tokens.tolist() for c in eng.run(mk_reqs())]
+    assert got == want, (got, want)
+    print(f"[rank {args.proc_id}] cross-process ENGINE token-exact OK "
+          f"({sum(len(t) for t in got)} tokens, model={mesh4.shape['model']}"
+          " spanning both ranks)", flush=True)
+
+    # ---- phase 4: per-step collective byte accounting -----------------
+    from sleekit_tpu.parallel.comm_model import decode_step_comm
+
+    acct = decode_step_comm(cfg, batch=2, tp=jax.device_count())
+    assert acct["allreduce_calls"] == 2 * cfg.n_layers + 1
+    print(f"[rank {args.proc_id}] comm accounting: "
+          f"{acct['allreduce_calls']} all-reduces/step, "
+          f"{acct['ici_bytes_per_step'] / 1e3:.1f} kB/step/device",
+          flush=True)
+
     print(f"[rank {args.proc_id}] MULTIPROCESS SMOKE OK", flush=True)
 
 
