@@ -181,11 +181,13 @@ def kv_cache_specs(cache) -> Any:
     plus per-token scale planes when int8-quantized): batch over 'data',
     kv heads over 'model'.
 
-    Paged pools (dict with a "page_table") shard the pool's KV-HEAD axis
-    over 'model' and replicate the page table: pages are shared by the
-    whole batch, so there is no batch axis to put on 'data' - data-
-    parallel paged serving replicates the ENGINE (pool included) per
-    replica, which is how continuous batching deploys across hosts."""
+    Paged pools (dict with a "page_table") shard the pool's PAGE axis
+    over 'data' and the KV-HEAD axis over 'model'; the page table's slot
+    rows shard over 'data'. Each data replica owns an independent page
+    sub-pool and its table rows hold REPLICA-LOCAL page ids (the engine
+    allocates per replica, serve/engine.py), so inside shard_map every
+    replica's kernels see a self-consistent local pool - and local page
+    0 is that replica's trash page (all-zero table rows stay harmless)."""
     def leaf_spec(x, stacked):
         lead = (None,) if stacked else ()
         # values are (..., B, KV, S, D); scale planes (..., B, KV, S)
@@ -196,10 +198,10 @@ def kv_cache_specs(cache) -> Any:
         if "page_table" in cache:  # paged pool layout
             def pool_spec(k, v):
                 if k == "page_table":
-                    return P()
+                    return P("data", None)
                 # pools (L, P, KV, PS, D); scale planes (L, P, KV, PS)
                 tail = (None, None) if v.ndim == 5 else (None,)
-                return P(None, None, "model", *tail)
+                return P(None, "data", "model", *tail)
             return {k: pool_spec(k, v) for k, v in cache.items()}
         return {k: leaf_spec(v, True) for k, v in cache.items()}  # stacked
     return [{k: leaf_spec(v, False) for k, v in entry.items()}

@@ -36,7 +36,8 @@ def test_paged_engine_matches_dense(scan_layers, cache_dtype):
         assert np.array_equal(a.new_tokens, b.new_tokens), (
             a.new_tokens, b.new_tokens)
     # All pages returned to the pool.
-    assert len(paged._free_pages) == paged.total_pages - 1
+    assert (sum(len(f) for f in paged._free_pages)
+            == paged.total_pages - paged._n_rep)
     assert not paged._slot_pages
 
 
@@ -75,20 +76,40 @@ def test_paged_engine_tp_matches_single(scan_layers, cache_dtype):
     for a, b in zip(out_s, out_t):
         assert np.array_equal(a.new_tokens, b.new_tokens), (
             a.new_tokens, b.new_tokens)
-    assert len(tp._free_pages) == tp.total_pages - 1
+    assert (sum(len(f) for f in tp._free_pages)
+            == tp.total_pages - tp._n_rep)
 
 
-def test_paged_tp_rejects_data_axis():
-    """data>1 paged TP must be rejected loudly (replicate the engine per
-    data shard instead)."""
-    from sleekit_tpu.parallel.mesh import make_mesh
+def test_paged_engine_data_x_model_matches_single():
+    """Paged pool under data=2 x model=2 (round-3 VERDICT ask 8): the
+    page axis shards over 'data' as independent per-replica sub-pools
+    with replica-local page ids; tokens must match the single-device
+    paged engine."""
+    from sleekit_tpu.codebooks import UniformCodebook
+    from sleekit_tpu.models.fake_quant import random_packed_params
+    from sleekit_tpu.models.quantize import pack_lm_head
+    from sleekit_tpu.parallel.mesh import make_mesh, prepare_params_for_tp
 
-    cfg = tiny_test(d_model=32, n_heads=2, n_layers=1, d_ff=48,
-                    vocab_size=64)
-    params = init_params(cfg, jax.random.PRNGKey(0))
-    with pytest.raises(AssertionError, match="data=1"):
-        Engine(cfg, params, max_slots=4, max_seq_len=64, paged=True,
-               page_size=16, mesh=make_mesh(data=2, model=2))
+    cfg = tiny_test(d_model=64, n_heads=4, n_layers=2, d_ff=128,
+                    vocab_size=256, scan_layers=False)
+    params, _ = random_packed_params(cfg, jax.random.PRNGKey(0),
+                                     UniformCodebook(16, -1.0, 1.0))
+    params = pack_lm_head(cfg, params, nbits=8)
+    tp_params = prepare_params_for_tp(cfg, params, 2)
+
+    kw = dict(max_slots=4, max_seq_len=64, paged=True, page_size=16)
+    single = Engine(cfg, params, **kw)
+    out_s = single.run(_requests())
+
+    mesh = make_mesh(data=2, model=2)
+    dm = Engine(cfg, tp_params, mesh=mesh, **kw)
+    assert dm._n_rep == 2 and len(dm._free_pages) == 2
+    out_t = dm.run(_requests())
+    for a, b in zip(out_s, out_t):
+        assert np.array_equal(a.new_tokens, b.new_tokens), (
+            a.new_tokens, b.new_tokens)
+    # All pages returned to their replica pools.
+    assert all(len(f) == dm._pages_local - 1 for f in dm._free_pages)
 
 
 def test_paged_pool_smaller_than_worst_case():
