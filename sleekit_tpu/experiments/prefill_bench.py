@@ -1,0 +1,155 @@
+"""Prefill-side matmul MFU and the packed-vs-dense crossover (round-3
+VERDICT ask 7: all published perf was decode; measure prefill).
+
+Per geometry and M in {8, 128, 512, 2048}, times three implementations
+of y = x @ deq(W):
+  * pair    - the streaming pair kernel (decode-shaped; full-M x block)
+  * deq+mm  - dequantize-once-then-dense bf16 (the PREFILL_DENSE_M
+              auto-switch path, ops/dequant_matmul._dequant_dense_bf16)
+  * dense   - plain bf16 matmul of pre-dequantized weights (upper bound)
+and reports ms + MFU vs the v5e bf16 peak. Then measures end-to-end
+prefill tokens/s on the packed model (models/transformer.prefill).
+
+Run ON TPU, one client at a time:
+  python -m sleekit_tpu.experiments.prefill_bench [--model opt-1.3b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+V5E_BF16_PEAK = 197e12  # FLOP/s
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="opt-1.3b")
+    ap.add_argument("--seq", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_root = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(cache_root, jax.default_backend()))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    import sleekit_tpu.ops.dequant_matmul as dq
+    from sleekit_tpu.codebooks import UniformCodebook
+    from sleekit_tpu.models.fake_quant import random_packed_linear
+
+    rng = np.random.RandomState(0)
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    sync(tiny(jnp.ones((8, 8))))
+    t0 = time.time()
+    for _ in range(5):
+        sync(tiny(jnp.ones((8, 8))))
+    overhead = (time.time() - t0) / 5
+    print(f"host round-trip overhead: {overhead * 1e3:.1f} ms", flush=True)
+
+    def timeit(fn, *a):
+        sync(fn(*a))  # compile
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.time()
+            sync(fn(*a))
+            best = min(best, time.time() - t0 - overhead)
+        return best
+
+    geoms = [("fc1", 2048, 8192), ("attn-qkv", 2048, 6144)]
+    print(f"\n{'geom':10s} {'nbits':5s} {'M':>5s} {'pair ms':>9s} "
+          f"{'deq+mm ms':>10s} {'dense ms':>9s} {'best MFU':>9s}")
+    crossover = {}
+    for gname, K, N in geoms:
+        for nbits in (3, 4):
+            cb = UniformCodebook(2 ** nbits, -1.0, 1.0)
+            w = random_packed_linear(jax.random.PRNGKey(0), K, N, cb,
+                                     layout="pair3" if nbits == 3
+                                     else "pair")
+            dense_w = jnp.asarray(w.dequantize(), jnp.bfloat16)
+
+            pair_fn = jax.jit(lambda x, w=w: dq._pallas_pair_impl(
+                x, w.packed, w.scale,
+                w.bias if w.bias is not None
+                else jnp.zeros((w.out_features,), jnp.float32),
+                nbits=w.nbits, affine_a=dq._pair_affine(w)[0],
+                affine_b=dq._pair_affine(w)[1], block_n=1024,
+                interpret=False, pair3=w.layout == "pair3",
+                **dq.PAIR_TUNE))
+            deq_fn = jax.jit(lambda x, w=w: dq._dequant_dense_bf16(x, w))
+            dense_fn = jax.jit(lambda x, dw=dense_w: jnp.dot(
+                x, dw, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16))
+
+            for M in (8, 128, 512, 2048):
+                x = jnp.asarray(rng.randn(M, K).astype(np.float32) * 0.1,
+                                jnp.bfloat16)
+                res = {}
+                for name, fn in (("pair", pair_fn), ("deq+mm", deq_fn),
+                                 ("dense", dense_fn)):
+                    try:
+                        res[name] = timeit(fn, x)
+                    except Exception as e:  # noqa: BLE001 - record OOMs
+                        res[name] = float("nan")
+                        print(f"    {name} failed at M={M}: "
+                              f"{type(e).__name__}", flush=True)
+                flops = 2.0 * M * K * N
+                best = np.nanmin([res["pair"], res["deq+mm"]])
+                mfu = flops / best / V5E_BF16_PEAK if best > 0 else 0.0
+                print(f"{gname:10s} int{nbits:<2d} {M:>5d} "
+                      f"{res['pair'] * 1e3:>9.3f} "
+                      f"{res['deq+mm'] * 1e3:>10.3f} "
+                      f"{res['dense'] * 1e3:>9.3f} {mfu:>8.1%}",
+                      flush=True)
+                key = (gname, nbits)
+                if key not in crossover and res["deq+mm"] < res["pair"]:
+                    crossover[key] = M
+    print(f"\npair->deq+mm crossover (first M where dense path wins): "
+          f"{crossover}")
+    print(f"auto-switch threshold PREFILL_DENSE_M = {dq.PREFILL_DENSE_M}")
+
+    # ---- end-to-end prefill tokens/s ---------------------------------
+    from sleekit_tpu.models.fake_quant import random_packed_params
+    from sleekit_tpu.models.quantize import pack_lm_head
+    from sleekit_tpu.models.transformer import init_kv_cache, prefill
+    from sleekit_tpu.models.zoo import get_config
+
+    cfg = get_config(args.model, dtype=jnp.bfloat16, scan_layers=True)
+    params, _ = random_packed_params(cfg, jax.random.PRNGKey(0),
+                                     UniformCodebook(16, -1.0, 1.0),
+                                     fuse_qkv=True, layout="pair")
+    params = pack_lm_head(cfg, params, nbits=8)
+    tokens = jnp.asarray(rng.randint(0, cfg.vocab_size,
+                                     (args.batch, args.seq)), jnp.int32)
+    pf = jax.jit(prefill, static_argnums=(0,))
+
+    def run():
+        cache = init_kv_cache(cfg, args.batch, args.seq,
+                              dtype=jnp.int8)
+        logits, cache = pf(cfg, params, tokens, cache)
+        return logits
+
+    best = timeit(run)
+    toks = args.batch * args.seq
+    print(f"\nprefill {args.model} int4: {toks} tokens in "
+          f"{best * 1e3:.1f} ms = {toks / best:.0f} tokens/s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -602,27 +602,27 @@ def _fused_decode_kernel(pos_ref, layer_ref, q_ref, kn_ref, vn_ref,
     # p, where the stale window rows are already in VMEM.
     @pl.when(ns == p // s_blk)
     def _():
-        w0 = (p % s_blk) // _APPEND_WIN * _APPEND_WIN
-        iw = lax.broadcasted_iota(jnp.int32, (_APPEND_WIN, s_blk), 0)
-        is_ = lax.broadcasted_iota(jnp.int32, (_APPEND_WIN, s_blk), 1)
-        oh = (is_ == iw + w0).astype(jnp.float32)        # one-hot gather
-        k2 = k_ref[0, 0].astype(jnp.float32)             # (kv, SB, D)
-        v2 = v_ref[0, 0].astype(jnp.float32)
-        wk0 = lax.dot_general(oh, k2, (((1,), (1,)), ((), ())))
-        wv0 = lax.dot_general(oh, v2, (((1,), (1,)), ((), ())))
+        # The stale window rows are already in VMEM inside this s-block:
+        # a dynamic SUBLANE slice (8-aligned) reads them directly
+        # (probe-verified on v5e; a one-hot 3D dot_general gather does
+        # NOT lower - Mosaic dots are 2D-only).
+        w0 = pl.multiple_of((p % s_blk) // _APPEND_WIN * _APPEND_WIN,
+                            _APPEND_WIN)
+        wk0 = k_ref[0, 0, :, pl.ds(w0, _APPEND_WIN), :]  # (kv, WIN, D)
+        wv0 = v_ref[0, 0, :, pl.ds(w0, _APPEND_WIN), :]
         if quantized:
-            k_store = kq[:, 0, :].astype(jnp.float32)    # (kv, D)
-            v_store = vq[:, 0, :].astype(jnp.float32)
+            k_store = kq.astype(jnp.float32)             # (kv, 1, D)
+            v_store = vq.astype(jnp.float32)
         else:
-            k_store = kn[:, 0, :].astype(jnp.float32)
-            v_store = vn[:, 0, :].astype(jnp.float32)
+            k_store = kn.astype(jnp.float32)
+            v_store = vn.astype(jnp.float32)
         r = p % _APPEND_WIN
-        for w in range(_APPEND_WIN):
-            sel = jnp.int32(w) == r
-            wk_ref[0, 0, :, w, :] = jnp.where(
-                sel, k_store, wk0[w]).astype(wk_ref.dtype)
-            wv_ref[0, 0, :, w, :] = jnp.where(
-                sel, v_store, wv0[w]).astype(wv_ref.dtype)
+        roww = lax.broadcasted_iota(jnp.int32, (_APPEND_WIN, 1), 0)
+        wmask = (roww == r)[None]                        # (1, WIN, 1)
+        wk_ref[0, 0] = jnp.where(
+            wmask, k_store, wk0.astype(jnp.float32)).astype(wk_ref.dtype)
+        wv_ref[0, 0] = jnp.where(
+            wmask, v_store, wv0.astype(jnp.float32)).astype(wv_ref.dtype)
         if quantized:
             colv = (lax.broadcasted_iota(jnp.int32, (kv, s_blk), 1)
                     + ns * s_blk)

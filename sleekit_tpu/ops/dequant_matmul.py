@@ -682,6 +682,33 @@ def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
     return out[:m, :n]
 
 
+# PREFILL auto-switch: above this many activation rows, dequantize the
+# weight once to a dense bf16 matrix and run a plain MXU matmul instead
+# of the streaming pair kernel. The pair kernel is decode-shaped (the
+# whole (M, K)-block x rides VMEM per grid step - 10+ MB at M=2048) and
+# its per-block unpack buys nothing once the matmul is MXU-bound;
+# measured crossover on v5e in experiments/prefill_bench.py.
+PREFILL_DENSE_M = 64
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _dequant_dense_bf16(x: jnp.ndarray, w: PackedLinear) -> jnp.ndarray:
+    """Dequantize-once-then-dense: XLA unpack to a bf16 (K, N) matrix +
+    one MXU dot. The prefill path (M > PREFILL_DENSE_M); the unpack cost
+    amortizes over the M rows and the dot runs at dense-bf16 MFU."""
+    packed = w.packed
+    if w.layer_sel is not None:
+        packed = lax.dynamic_index_in_dim(packed, w.layer_sel, axis=0,
+                                          keepdims=False)
+    idx = unpack_indices(packed, w.nbits, w.in_features, layout=w.layout)
+    idx = idx[:, :w.out_features]
+    deq = (jnp.take(w.lut, idx) * w.scale[None, :]).astype(jnp.bfloat16)
+    y = jnp.dot(x, deq, preferred_element_type=jnp.float32)
+    if w.bias is not None:
+        y = y + w.bias[None, :]
+    return y.astype(x.dtype)
+
+
 def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
                           block_n: int = 1024,
                           interpret: bool = False) -> jnp.ndarray:
@@ -690,6 +717,9 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
     assert w.k_splits == 1, (
         "split_packed_k matrices are a TP sharding format; localize the "
         "shard (ops/pack.localize_packed_shard) before the matmul")
+    if (x.shape[0] > PREFILL_DENSE_M and x.dtype == jnp.bfloat16
+            and not interpret):
+        return _dequant_dense_bf16(x, w)
     if w.layout in ("pair", "pair3"):
         # bf16-pair fast path: exact while the index fits the bf16
         # mantissa and the codebook is affine (uniform); anything else

@@ -92,7 +92,9 @@ def main(argv=None) -> int:
         x = jnp.asarray(rng.randn(8, K).astype(np.float32) * 0.1,
                         jnp.bfloat16)
         for nbits in (3, 4, 8):
-            layouts = ("int8",) if nbits == 8 else ("pair", "plane")
+            layouts = (("int8",) if nbits == 8
+                       else ("pair", "pair3", "plane") if nbits == 3
+                       else ("pair", "plane"))
             cb = UniformCodebook(2 ** nbits, -1.0, 1.0)
             scale = np.abs(W).max(axis=1) + 1e-3
             Q = np.asarray(cb(jnp.asarray(W / scale[:, None]))) * scale[:, None]
@@ -107,7 +109,7 @@ def main(argv=None) -> int:
                                                     interpret=interpret)
                 record(f"dequant_matmul/{gname}/int{nbits}/{layout}",
                        run, check=lambda ref=ref: ref)
-                if layout == "pair":
+                if layout in ("pair", "pair3"):
                     # Glue fusion: pre-layernorm rides the kernel
                     # prologue - the full-K-row variant most likely to
                     # hit VMEM at 8B-class K.
@@ -118,8 +120,8 @@ def main(argv=None) -> int:
                         return dq.fused_quantized_matmul(
                             x, p, pre="layernorm", ln_scale=ln["scale"],
                             ln_bias=ln["bias"], interpret=interpret)
-                    record(f"dequant_matmul/{gname}/int{nbits}/pair+ln",
-                           run_ln)
+                    record(f"dequant_matmul/{gname}/int{nbits}/"
+                           f"{layout}+ln", run_ln)
 
     # ---- flash decode: mode x GQA x int8 KV ---------------------------
     for kv, G, tag in ((32, 1, "mha32"), (8, 4, "gqa8x4")):
@@ -164,6 +166,48 @@ def main(argv=None) -> int:
                                        k_scale=ksc, v_scale=ksc,
                                        interpret=interpret)[0]
         record(f"kv_append/{tag}/int8", run_append_q)
+
+        # append-FUSED flash decode (the round-4 serving default): one
+        # kernel does the in-place append + attention; check the
+        # attention output against the XLA append-then-attend oracle.
+        def fused_oracle():
+            u = at.kv_append_xla(kn, vn, ck, cv, pos, layer)
+            return at.flash_decode_xla(q, u[0], u[1], pos, layer, sc)
+
+        def run_fused():
+            return at.fused_decode_append_pallas(
+                q, kn, vn, ck, cv, pos, layer, sc,
+                interpret=interpret)[0]
+        record(f"fused_decode_append/{tag}/bf16", run_fused,
+               check=fused_oracle)
+
+        cki2 = jnp.asarray(rng.randint(-127, 128, (2, B, kv, S, D)),
+                           jnp.int8)
+        ksc2 = jnp.asarray(
+            0.01 + 0.05 * rng.rand(2, B, kv, S).astype(np.float32))
+
+        def fused_oracle_q():
+            u = at.kv_append_xla(kn, vn, cki2, cki2, pos, layer,
+                                 k_scale=ksc2, v_scale=ksc2)
+            return at.flash_decode_xla(q, u[0], u[1], pos, layer, sc,
+                                       k_scale=u[2], v_scale=u[3])
+
+        def run_fused_q():
+            return at.fused_decode_append_pallas(
+                q, kn, vn, cki2, cki2, pos, layer, sc,
+                k_scale=ksc2, v_scale=ksc2, interpret=interpret)[0]
+        record(f"fused_decode_append/{tag}/int8", run_fused_q,
+               check=fused_oracle_q)
+
+        # long context: append window + scale block land in a non-zero
+        # S-block (block_s=128 -> 2 blocks at S=256).
+        def run_fused_blocks():
+            return at.fused_decode_append_pallas(
+                q, kn, vn, cki2, cki2, pos, layer, sc,
+                k_scale=ksc2, v_scale=ksc2, block_s=128,
+                interpret=interpret)[0]
+        record(f"fused_decode_append/{tag}/int8-2blk", run_fused_blocks,
+               check=fused_oracle_q)
 
     # ---- paged kernels ------------------------------------------------
     B, kv, PS, D, MAXP = 4, 8, 64, 64, 4
