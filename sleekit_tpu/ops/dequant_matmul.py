@@ -266,6 +266,10 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
             # into the epilogue: with c_lo = 1 + lo/4 and c_hi = 1 + hi/2,
             #   x @ W = 4*step*[x@c_lo + (2x)@c_hi] + (zero-12*step)*rs
             # so a_aff = 4*step, b_aff = zero - 12*step (dispatch below).
+            # (Swept alternatives, BENCH_NOTES round 4: an exponent-field
+            # hi plane with a second accumulator saves the OR but LOSES
+            # 9% on the full bench - the extra accumulator breaks the
+            # MXU accumulation chain.)
             wlo = words[:PAIR3_LO_WORDS]
             whi = words[PAIR3_LO_WORDS:]
             m_lo = jnp.int32(0x60 | (0x60 << 16))
@@ -277,6 +281,12 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
                      else lax.shift_right_logical(wlo, jnp.int32(-s)))
                 planes.append(pltpu.bitcast((w & m_lo) | one, jnp.bfloat16))
             c_lo = jnp.concatenate(planes, axis=0)         # (256, BN)
+            xb = x[:, t * bk:(t + 1) * bk]
+            # Issue the lo dot BEFORE unpacking the hi plane: the hi
+            # extraction is the pure-VPU half of the 2+1 split and
+            # overlaps the MXU pass over c_lo (+6.7% on the full bench).
+            acc_ref[:] += jnp.dot(xb, c_lo,
+                                  preferred_element_type=jnp.float32)
             planes = []
             for j in range(16):
                 s = 6 - j
@@ -284,9 +294,6 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
                      else lax.shift_right_logical(whi, jnp.int32(-s)))
                 planes.append(pltpu.bitcast((w & m_hi) | one, jnp.bfloat16))
             c_hi = jnp.concatenate(planes, axis=0)         # (256, BN)
-            xb = x[:, t * bk:(t + 1) * bk]
-            acc_ref[:] += jnp.dot(xb, c_lo,
-                                  preferred_element_type=jnp.float32)
             acc_ref[:] += jnp.dot(xb + xb, c_hi,
                                   preferred_element_type=jnp.float32)
             continue
@@ -473,6 +480,7 @@ def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
         pltpu.VMEM((m_pad, bn), jnp.float32),   # f32 accumulator
         pltpu.VMEM((m_pad, 128), jnp.float32),  # rowsum(x) carry
     ]
+
     if stacked:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
