@@ -110,7 +110,16 @@ def main():
         f"ctx={ctx} on {jax.devices()[0].platform}")
 
     key = jax.random.PRNGKey(0)
-    codebook = UniformCodebook(2 ** nbits, -1.0, 1.0)
+    # BENCH_CODEBOOK=nf4: serve a TABLE codebook through the plane-layout
+    # LUT kernels (stacked layer_sel scalar prefetch) instead of the
+    # affine bf16-pair path - the non-uniform serving bench line.
+    if os.environ.get("BENCH_CODEBOOK") == "nf4":
+        from sleekit_tpu.codebooks import Codebook
+        codebook = Codebook.nf4()
+        os.environ.setdefault("BENCH_LAYOUT", "plane")
+        log("  codebook: nf4 (LUT plane serving path)")
+    else:
+        codebook = UniformCodebook(2 ** nbits, -1.0, 1.0)
 
     def sync(x):
         return float(jnp.sum(x.astype(jnp.float32)))

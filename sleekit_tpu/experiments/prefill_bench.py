@@ -62,13 +62,39 @@ def main(argv=None) -> int:
     overhead = (time.time() - t0) / 5
     print(f"host round-trip overhead: {overhead * 1e3:.1f} ms", flush=True)
 
-    def timeit(fn, *a):
+    LOOP = 128
+
+    def loopify(fn):
+        """Repeat fn LOOP times inside one jit (sub-ms ops are unmeasurable
+        through the ~26 ms tunnel round trip). The carry consumes a FULL
+        reduction of y - a slice would let XLA shrink the dot to a
+        slice-of-operands dot and time nothing - and feeds a negligible
+        perturbation back into x so nothing hoists."""
+        def body(carry, _):
+            x, s = carry
+            y = fn(x)
+            s2 = s + jnp.sum(y.astype(jnp.float32)).reshape(1) * 1e-30
+            x = x + s2[0].astype(x.dtype)
+            return (x, s2), None
+
+        @jax.jit
+        def run(x):
+            (x, s), _ = jax.lax.scan(
+                body, (x, jnp.zeros((1,), jnp.float32)), None, length=LOOP)
+            return s
+        return run
+
+    def timeit(fn, *a, loop=False):
+        reps = 1
+        if loop:
+            fn = loopify(fn)
+            reps = LOOP
         sync(fn(*a))  # compile
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.time()
             sync(fn(*a))
-            best = min(best, time.time() - t0 - overhead)
+            best = min(best, (time.time() - t0 - overhead) / reps)
         return best
 
     geoms = [("fc1", 2048, 8192), ("attn-qkv", 2048, 6144)]
@@ -103,7 +129,7 @@ def main(argv=None) -> int:
                 for name, fn in (("pair", pair_fn), ("deq+mm", deq_fn),
                                  ("dense", dense_fn)):
                     try:
-                        res[name] = timeit(fn, x)
+                        res[name] = timeit(fn, x, loop=True)
                     except Exception as e:  # noqa: BLE001 - record OOMs
                         res[name] = float("nan")
                         print(f"    {name} failed at M={M}: "

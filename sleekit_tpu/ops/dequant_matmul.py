@@ -63,8 +63,11 @@ def dequant_matmul_xla(x: jnp.ndarray, w: PackedLinear) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
-def _kernel(x_ref, w_ref, scale_ref, lut_ref, o_ref, *,
-            nbits, vpw, ksize, affine, compute_dtype, kb_t=1):
+def _kernel(*refs, nbits, vpw, ksize, affine, compute_dtype, kb_t=1,
+            stacked=False):
+    if stacked:
+        refs = refs[1:]  # scalar-prefetch layer index (used by index maps)
+    x_ref, w_ref, scale_ref, lut_ref, o_ref = refs
     k_step = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -74,12 +77,13 @@ def _kernel(x_ref, w_ref, scale_ref, lut_ref, o_ref, *,
 
     mask = jnp.int32((1 << nbits) - 1)
     bk0 = PLANE_GROUP * vpw
+    words_all = w_ref[0] if stacked else w_ref[:]
     # kb_t plane tiles per grid step: 3-bit (vpw=10) tiles expand to 320
     # K rows, not a multiple of the 128-lane x block requirement - two
     # tiles (640 = 5x128) restore a legal block (TPU_KERNEL_SMOKE round 3
     # caught this lowering failure; interpret mode never enforces it).
     for t in range(kb_t):
-        words = w_ref[t * PLANE_GROUP:(t + 1) * PLANE_GROUP, :]
+        words = words_all[t * PLANE_GROUP:(t + 1) * PLANE_GROUP, :]
         # Plane j is a contiguous row block [j*PG, (j+1)*PG).
         planes = [lax.shift_right_logical(words, jnp.int32(nbits * j)) & mask
                   for j in range(vpw)]
@@ -602,10 +606,11 @@ def _pair_affine(w: PackedLinear):
 
 @functools.partial(jax.jit, static_argnames=(
     "nbits", "vpw", "in_features", "affine", "block_n", "interpret"))
-def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
-                 affine, block_n, interpret):
+def _pallas_impl(x, packed, scale, lut, layer=None, *, nbits, vpw,
+                 in_features, affine, block_n, interpret):
     m, k = x.shape
-    kw, n = packed.shape
+    stacked = packed.ndim == 3
+    kw, n = packed.shape[-2:]
     ksize = lut.shape[0]
 
     # 3-bit plane tiles expand to 320 K rows - not a multiple of the
@@ -623,15 +628,32 @@ def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
     k_pad = kw_pad * vpw
     n_pad = _round_up(n, bn)
 
+    if stacked and ((kw_pad, n_pad) != (kw, n) or layer is None):
+        # Runtime-padding a stacked tensor would copy EVERY layer per
+        # call; slice this layer out (one-layer copy) and go unstacked.
+        packed = lax.dynamic_index_in_dim(
+            packed, jnp.asarray(layer if layer is not None else 0,
+                                jnp.int32), axis=0, keepdims=False)
+        stacked = False
+
     if (m_pad, k_pad) == (m, k):
         x_p = x
     else:
         x_p = jnp.zeros((m_pad, k_pad), x.dtype)
         x_p = lax.dynamic_update_slice(x_p, x, (0, 0))
-    packed_p = (packed if (kw_pad, n_pad) == (kw, n)
+    packed_p = (packed if stacked or (kw_pad, n_pad) == (kw, n)
                 else jnp.pad(packed, ((0, kw_pad - kw), (0, n_pad - n))))
 
     grid = (n_pad // bn, kw_pad // (kb_t * PLANE_GROUP))
+
+    def imap(fn):
+        return (lambda i, j, L: fn(i, j)) if stacked else fn
+
+    w_spec = (pl.BlockSpec((1, kb_t * PLANE_GROUP, bn),
+                           lambda i, j, L: (L[0], j, i),
+                           memory_space=pltpu.VMEM) if stacked else
+              pl.BlockSpec((kb_t * PLANE_GROUP, bn), lambda i, j: (j, i),
+                           memory_space=pltpu.VMEM))
     # bf16 inputs take the bf16 MXU fast path; f32 inputs keep full
     # precision (parity with the XLA oracle).
     compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
@@ -640,6 +662,11 @@ def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
     # fits the compute mantissa (bf16: 7 bits). The affine correction and
     # per-channel scale apply outside as one fused elementwise pass.
     if affine is not None and nbits <= 7:
+        if stacked:  # rare: affine codebooks serve via the pair layouts
+            packed_p = lax.dynamic_index_in_dim(
+                packed_p, jnp.asarray(layer, jnp.int32), axis=0,
+                keepdims=False)
+            stacked = False
         kernel = functools.partial(
             _mantissa_kernel, nbits=nbits, vpw=vpw,
             compute_dtype=compute_dtype, kb_t=kb_t)
@@ -667,26 +694,38 @@ def _pallas_impl(x, packed, scale, lut, *, nbits, vpw, in_features,
     lut_p = lut.reshape(1, ksize)
     kernel = functools.partial(
         _kernel, nbits=nbits, vpw=vpw, ksize=ksize, affine=affine,
-        compute_dtype=compute_dtype, kb_t=kb_t)
+        compute_dtype=compute_dtype, kb_t=kb_t, stacked=stacked)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((m_pad, bk), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kb_t * PLANE_GROUP, bn), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ksize), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((m_pad, bn), lambda i, j: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
-        interpret=interpret,
-    )(x_p, packed_p, scale_p, lut_p)
+    in_specs = [
+        pl.BlockSpec((m_pad, bk), imap(lambda i, j: (0, j)),
+                     memory_space=pltpu.VMEM),
+        w_spec,
+        pl.BlockSpec((1, bn), imap(lambda i, j: (0, i)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ksize), imap(lambda i, j: (0, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((m_pad, bn), imap(lambda i, j: (0, i)),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32)
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_spec)
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(jnp.asarray(layer, jnp.int32).reshape(1),
+          x_p, packed_p, scale_p, lut_p)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(x_p, packed_p, scale_p, lut_p)
     return out[:m, :n]
 
 
@@ -752,14 +791,12 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
                 block_n=block_n, interpret=interpret,
                 out_n=w.out_features)
         return dequant_matmul_xla(x, w)
-    if w.layer_sel is not None:
-        return dequant_matmul_xla(x, w)
     if w.layout != "plane":
         # Linear-layout weights fall back to the XLA oracle; repack with
         # layout='plane' (ops/pack.pack_quantized default) for the fast path.
         return dequant_matmul_xla(x, w)
     y = _pallas_impl(
-        x, w.packed, w.scale, w.lut,
+        x, w.packed, w.scale, w.lut, w.layer_sel,
         nbits=w.nbits, vpw=w.vpw, in_features=w.in_features,
         affine=w.affine, block_n=block_n, interpret=interpret)
     if w.bias is not None:

@@ -123,6 +123,39 @@ def main(argv=None) -> int:
                     record(f"dequant_matmul/{gname}/int{nbits}/"
                            f"{layout}+ln", run_ln)
 
+    # ---- NF4 (table-codebook) LUT serving: plane kernel, incl. the
+    # stacked layer_sel zero-copy path (round-3 VERDICT ask 6) ----------
+    from sleekit_tpu.codebooks import Codebook
+    from sleekit_tpu.ops.pack import PackedLinear, affine_from_lut
+    from sleekit_tpu.ops.pack import pack_indices as _pack_idx
+    import dataclasses as _dc
+
+    nf4 = Codebook.nf4()
+    lutv = jnp.asarray(np.asarray(nf4.values), jnp.float32)
+    assert affine_from_lut(lutv) is None
+    Knf, Nnf = 2048, 2048
+    idx_nf = jnp.asarray(rng.randint(0, 16, (Knf, Nnf)), jnp.int32)
+    w_nf = PackedLinear(
+        packed=_pack_idx(idx_nf, 4, layout="plane"),
+        scale=jnp.asarray(rng.rand(Nnf).astype(np.float32) + 0.5),
+        lut=lutv, bias=None, in_features=Knf, out_features=Nnf,
+        nbits=4, affine=None, layout="plane")
+    x_nf = jnp.asarray(rng.randn(8, Knf).astype(np.float32) * 0.1,
+                       jnp.bfloat16)
+    ref_nf = (np.asarray(x_nf, np.float32)
+              @ np.asarray(w_nf.dequantize(), np.float32))
+    record("dequant_matmul/nf4/plane",
+           lambda: dq.dequant_matmul_pallas(x_nf, w_nf,
+                                            interpret=interpret),
+           check=lambda: ref_nf)
+    w_nf_st = _dc.replace(
+        w_nf, packed=jnp.stack([w_nf.packed, w_nf.packed]),
+        layer_sel=jnp.int32(1))
+    record("dequant_matmul/nf4/plane-stacked",
+           lambda: dq.dequant_matmul_pallas(x_nf, w_nf_st,
+                                            interpret=interpret),
+           check=lambda: ref_nf)
+
     # ---- flash decode: mode x GQA x int8 KV ---------------------------
     for kv, G, tag in ((32, 1, "mha32"), (8, 4, "gqa8x4")):
         B, S, D = 8, 256, 64
