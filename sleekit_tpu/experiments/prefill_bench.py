@@ -4,8 +4,8 @@ VERDICT ask 7: all published perf was decode; measure prefill).
 Per geometry and M in {8, 128, 512, 2048}, times three implementations
 of y = x @ deq(W):
   * pair    - the streaming pair kernel (decode-shaped; full-M x block)
-  * deq+mm  - dequantize-once-then-dense bf16 (the PREFILL_DENSE_M
-              auto-switch path, ops/dequant_matmul._dequant_dense_bf16)
+  * deq+mm  - dequantize-once-then-dense bf16
+              (ops/dequant_matmul._dequant_dense_bf16, the fallback)
   * dense   - plain bf16 matmul of pre-dequantized weights (upper bound)
 and reports ms + MFU vs the v5e bf16 peak. Then measures end-to-end
 prefill tokens/s on the packed model (models/transformer.prefill).
@@ -74,7 +74,10 @@ def main(argv=None) -> int:
             x, s = carry
             y = fn(x)
             s2 = s + jnp.sum(y.astype(jnp.float32)).reshape(1) * 1e-30
-            x = x + s2[0].astype(x.dtype)
+            # maximum() is not affine: XLA cannot distribute the next
+            # iteration's dot over it and hoist the invariant part (it
+            # CAN for x + c or x * c - measured as >100% MFU nonsense).
+            x = jnp.maximum(x, (s2[0] - 1e30).astype(x.dtype))
             return (x, s2), None
 
         @jax.jit
@@ -147,7 +150,7 @@ def main(argv=None) -> int:
                     crossover[key] = M
     print(f"\npair->deq+mm crossover (first M where dense path wins): "
           f"{crossover}")
-    print(f"auto-switch threshold PREFILL_DENSE_M = {dq.PREFILL_DENSE_M}")
+    print(f"pair-kernel M-chunk size PREFILL_CHUNK_M = {dq.PREFILL_CHUNK_M}")
 
     # ---- end-to-end prefill tokens/s ---------------------------------
     from sleekit_tpu.models.fake_quant import random_packed_params

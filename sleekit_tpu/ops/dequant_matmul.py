@@ -729,19 +729,20 @@ def _pallas_impl(x, packed, scale, lut, layer=None, *, nbits, vpw,
     return out[:m, :n]
 
 
-# PREFILL auto-switch: above this many activation rows, dequantize the
-# weight once to a dense bf16 matrix and run a plain MXU matmul instead
-# of the streaming pair kernel. The pair kernel is decode-shaped (the
-# whole (M, K)-block x rides VMEM per grid step - 10+ MB at M=2048) and
-# its per-block unpack buys nothing once the matmul is MXU-bound;
-# measured crossover on v5e in experiments/prefill_bench.py.
-PREFILL_DENSE_M = 64
+# PREFILL policy (measured, experiments/prefill_bench.py round 4): the
+# streaming pair kernel beats dequantize-once-then-dense at EVERY M it
+# fits (M=512 fc1-int4: pair 0.083 ms ~= dense-bf16 0.084 vs deq+mm
+# 0.47), and only VMEM-fails around M~2048 (the decode-shaped full-M x
+# block). So large-M calls are CHUNKED over M at PREFILL_CHUNK_M rows
+# per pair-kernel call instead of switching kernels; _dequant_dense_bf16
+# remains the fallback for shapes the kernel rejects.
+PREFILL_CHUNK_M = 512
 
 
 @functools.partial(jax.jit, static_argnames=())
 def _dequant_dense_bf16(x: jnp.ndarray, w: PackedLinear) -> jnp.ndarray:
     """Dequantize-once-then-dense: XLA unpack to a bf16 (K, N) matrix +
-    one MXU dot. The prefill path (M > PREFILL_DENSE_M); the unpack cost
+    one MXU dot. Fallback for shapes the pair kernel rejects; the unpack cost
     amortizes over the M rows and the dot runs at dense-bf16 MFU."""
     packed = w.packed
     if w.layer_sel is not None:
@@ -764,9 +765,17 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
     assert w.k_splits == 1, (
         "split_packed_k matrices are a TP sharding format; localize the "
         "shard (ops/pack.localize_packed_shard) before the matmul")
-    if (x.shape[0] > PREFILL_DENSE_M and x.dtype == jnp.bfloat16
-            and not interpret):
-        return _dequant_dense_bf16(x, w)
+    if x.shape[0] > PREFILL_CHUNK_M and x.dtype == jnp.bfloat16:
+        # Prefill-size M: chunk rows through the same streaming kernel
+        # (see PREFILL_CHUNK_M note above).
+        pad = (-x.shape[0]) % PREFILL_CHUNK_M
+        xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+        parts = [
+            dequant_matmul_pallas(
+                xp[i:i + PREFILL_CHUNK_M], w, block_n=block_n,
+                interpret=interpret)
+            for i in range(0, xp.shape[0], PREFILL_CHUNK_M)]
+        return jnp.concatenate(parts, axis=0)[:x.shape[0]]
     if w.layout in ("pair", "pair3"):
         # bf16-pair fast path: exact while the index fits the bf16
         # mantissa and the codebook is affine (uniform); anything else
