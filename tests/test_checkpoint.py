@@ -151,3 +151,24 @@ def test_timer_report():
     assert rep["a"]["count"] == 1
     assert "total_s" in rep["a"]
     assert isinstance(t.dump(), str)
+
+
+def test_checkpoint_roundtrip_pair3_and_nf4(tmp_path):
+    """The round-4 layouts persist: pair3 (3-bit split-plane) and NF4
+    (plane LUT) checkpoints round-trip bit-exact through skq2."""
+    from sleekit_tpu.codebooks import Codebook, UniformCodebook
+
+    cfg = tiny_test(n_layers=2)
+    for name, cb, layout in (("p3", UniformCodebook(8, -1, 1), "pair3"),
+                             ("nf4", Codebook.nf4(), "plane")):
+        params, _ = random_packed_params(cfg, jax.random.PRNGKey(3), cb,
+                                         layout=layout)
+        save_packed_params(str(tmp_path / name), params,
+                           meta={"model": "tiny", "layout": layout})
+        loaded, meta = load_packed_params(str(tmp_path / name))
+        assert meta["layout"] == layout
+        tokens = jnp.asarray(np.random.RandomState(0).randint(
+            0, cfg.vocab_size, (1, 8)).astype(np.int32))
+        a = np.asarray(forward(cfg, params, tokens))
+        b = np.asarray(forward(cfg, loaded, tokens))
+        assert np.array_equal(a, b)
