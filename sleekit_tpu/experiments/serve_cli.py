@@ -75,16 +75,28 @@ def main(argv=None):
                     cache_dtype=cache_dtype, paged=args.paged,
                     page_size=args.page_size, total_pages=args.total_pages,
                     mesh=mesh)
-    reqs = [Request(prompt=p, max_new_tokens=args.max_new_tokens,
-                    temperature=args.temperature) for p in prompts]
+    def mk_reqs():
+        return [Request(prompt=p, max_new_tokens=args.max_new_tokens,
+                        temperature=args.temperature) for p in prompts]
+
     t0 = time.time()
-    comps = engine.run(reqs)
+    comps = engine.run(mk_reqs())
     dt = time.time() - t0
     new_tokens = sum(len(c.new_tokens) for c in comps)
     for c in comps:
         print(f"[{c.request_id}] +{len(c.new_tokens)} tokens "
               f"({c.finish_reason}): {c.new_tokens.tolist()}")
-    print(f"{new_tokens} tokens in {dt:.2f}s = {new_tokens / dt:.1f} tokens/s")
+    print(f"{new_tokens} tokens in {dt:.2f}s = {new_tokens / dt:.1f} "
+          "tokens/s (cold: includes jit compiles)")
+    # Steady state: the same requests again with every program compiled
+    # (first-compiles through the axon relay take minutes and would
+    # otherwise masquerade as throughput).
+    t0 = time.time()
+    comps = engine.run(mk_reqs())
+    dt = time.time() - t0
+    new_tokens = sum(len(c.new_tokens) for c in comps)
+    print(f"steady state: {new_tokens} tokens in {dt:.2f}s = "
+          f"{new_tokens / dt:.1f} tokens/s")
 
 
 if __name__ == "__main__":

@@ -311,6 +311,40 @@ def _attention(cfg: TransformerConfig, q, k, v, bias):
     return out.astype(q.dtype)
 
 
+def _causal_attention(cfg: TransformerConfig, q, kT, vT, positions):
+    """Causal self-attention for prefill / full-sequence forward:
+    q (B, T, H, hd); kT, vT (B, KV, T, hd); positions strictly
+    increasing per row (so the position mask IS the causal mask).
+
+    On TPU (non-ALiBi, 128-aligned T) this routes to the stock Pallas
+    flash kernel - the XLA path materializes (B, H, T, T) f32 logits,
+    which at T=512 is already ~12 ms/step of pure HBM traffic on
+    OPT-1.3B and grows quadratically with prompt length. ALiBi (BLOOM)
+    and ragged shapes keep the masked-softmax path."""
+    T = q.shape[1]
+    if (jax.default_backend() == "tpu" and cfg.positional != "alibi"
+            and T >= 256 and T % 128 == 0 and T == kT.shape[2]):
+        try:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention)
+
+            kv = cfg.kv_heads
+            groups = cfg.n_heads // kv
+            k, v = kT, vT
+            if groups > 1:
+                k = jnp.repeat(k, groups, axis=1)
+                v = jnp.repeat(v, groups, axis=1)
+            qh = q.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
+            out = flash_attention(
+                qh, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                causal=True, sm_scale=1.0 / math.sqrt(cfg.head_dim))
+            return out.transpose(0, 2, 1, 3).astype(q.dtype)
+        except Exception:  # noqa: BLE001 - geometry the stock kernel rejects
+            pass
+    bias = _causal_bias(cfg, positions, positions)
+    return _attention(cfg, q, kT, vT, bias)
+
+
 def _causal_bias(cfg: TransformerConfig, q_pos: jnp.ndarray, k_pos: jnp.ndarray):
     """(1|B, H, T, S) additive bias: causal mask (+ ALiBi if configured)."""
     mask = q_pos[..., :, None] >= k_pos[..., None, :]   # (..., T, S)
@@ -418,9 +452,8 @@ def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
         k = apply_rope(k, cos, sin)
 
     if kv_write is None:
-        bias = _causal_bias(cfg, positions, positions)
-        attn = _attention(cfg, q, k.transpose(0, 2, 1, 3),
-                          v.transpose(0, 2, 1, 3), bias)
+        attn = _causal_attention(cfg, q, k.transpose(0, 2, 1, 3),
+                                 v.transpose(0, 2, 1, 3), positions)
     elif len(kv_write) == 4:
         # Single-token decode against the FULL cache: in-place KV append +
         # flash attention, zero cache copies (ops/attention.py). With a
@@ -484,12 +517,22 @@ def _block(cfg, layer, x, positions, kv_write, stats, layer_idx):
                 cache_v, vt.astype(cache_v.dtype), (0, 0, write_pos, 0))
             attn_k, attn_v = cache_k, cache_v
         new_entry["k"], new_entry["v"] = cache_k, cache_v
-        s = cache_k.shape[2]
-        k_pos = jnp.arange(s)
-        valid = k_pos[None, :] <= positions[:, -1:]  # (B, S)
-        bias = _causal_bias(cfg, positions, jnp.broadcast_to(k_pos, (b, s)))
-        bias = jnp.where(valid[:, None, None, :], bias, -1e9)
-        attn = _attention(cfg, q, attn_k, attn_v, bias)
+        if isinstance(write_pos, int) and write_pos == 0:
+            # From position 0 the valid cache columns are exactly the
+            # just-written [0, t) rows: pure causal attention, which
+            # takes the flash fast path on TPU (quadratic XLA logits
+            # otherwise; attends the CACHE values so int8 round-trip
+            # numerics match the masked path).
+            attn = _causal_attention(cfg, q, attn_k[:, :, :t],
+                                     attn_v[:, :, :t], positions)
+        else:
+            s = cache_k.shape[2]
+            k_pos = jnp.arange(s)
+            valid = k_pos[None, :] <= positions[:, -1:]  # (B, S)
+            bias = _causal_bias(cfg, positions,
+                                jnp.broadcast_to(k_pos, (b, s)))
+            bias = jnp.where(valid[:, None, None, :], bias, -1e9)
+            attn = _attention(cfg, q, attn_k, attn_v, bias)
         kv_write = new_entry
 
     attn = attn.reshape(b, t, d)
