@@ -742,8 +742,10 @@ PREFILL_CHUNK_M = 512
 @functools.partial(jax.jit, static_argnames=())
 def _dequant_dense_bf16(x: jnp.ndarray, w: PackedLinear) -> jnp.ndarray:
     """Dequantize-once-then-dense: XLA unpack to a bf16 (K, N) matrix +
-    one MXU dot. Fallback for shapes the pair kernel rejects; the unpack cost
-    amortizes over the M rows and the dot runs at dense-bf16 MFU."""
+    one MXU dot. Not on the dispatch path (M-chunking through the pair
+    kernel beat it at every measured M - prefill_bench round 4); kept as
+    the measured comparison point and a utility for callers that want a
+    materialized bf16 weight."""
     packed = w.packed
     if w.layer_sel is not None:
         packed = lax.dynamic_index_in_dim(packed, w.layer_sel, axis=0,
