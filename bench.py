@@ -67,11 +67,12 @@ def main():
         import re
 
         import sleekit_tpu.ops.dequant_matmul as dq
-        mm = re.match(r"kb(\d+)s(\d)d(\d)(?:bn(\d+))?", tune)
+        mm = re.match(r"kb(\d+)s(\d)d(\d)(?:bn(\d+))?(?:m(\d))?", tune)
         dq.PAIR_TUNE = {"kb": int(mm.group(1)),
                         "split": bool(int(mm.group(2))),
                         "dim_sem": bool(int(mm.group(3))),
-                        "bn": int(mm.group(4) or 0)}
+                        "bn": int(mm.group(4) or 0),
+                        "p3m": int(mm.group(5) or 0)}
         log(f"  PAIR_TUNE override: {dq.PAIR_TUNE}")
     if os.environ.get("BENCH_GLUE", "1") == "0":
         import sleekit_tpu.models.transformer as _tr
@@ -173,10 +174,11 @@ def main():
     # int8-packed unembed head on top of the int-N packed linears.
     from sleekit_tpu.models.quantize import pack_lm_head
 
-    # pair3 = the 3-bit-native split-plane layout (0.75x int4 bytes, no
-    # K padding); 'pair' remains the default for every other width.
+    # pair3x = the 3-bit mixed layout (matches int4 tok/s at 0.875x its
+    # bytes); BENCH_LAYOUT=pair3 benches the memory-optimal split-plane
+    # layout (0.75x int4 bytes, ~-2.5%). 'pair' for every other width.
     layout = os.environ.get("BENCH_LAYOUT",
-                            "pair3" if nbits == 3 else "pair")
+                            "pair3x" if nbits == 3 else "pair")
     qparams, _ = random_packed_params(cfg, key, codebook, fuse_qkv=True,
                                       layout=layout)
     qparams = pack_lm_head(cfg, qparams, nbits=8)

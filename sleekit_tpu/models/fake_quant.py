@@ -45,13 +45,21 @@ def _fast_packed_linear(rng: np.ndarray, in_features: int,
     no pack step): uniform random words ARE uniform random indices (every
     payload bit uniform - true in any layout for power-of-two widths).
     Index count is rounded up to the layout's K tile."""
-    from sleekit_tpu.ops.pack import (PAIR3_TILE, PAIR3_WORDS, PLANE_GROUP,
-                                      pair_group, pair_planes,
+    from sleekit_tpu.ops.pack import (PAIR3_TILE, PAIR3_WORDS, PAIR3X_GROUP,
+                                      PAIR3X_P4_WORDS, PAIR3X_WORDS,
+                                      PLANE_GROUP, pair_group, pair_planes,
                                       vals_per_word)
 
     nbits = bits_for_codebook(len(codebook))
     vpw = vals_per_word(nbits)
-    if layout == "pair3":
+    if layout == "pair3x" and in_features % PAIR3X_GROUP:
+        layout = "pair3"  # mixed groups need K % 512 == 0
+    if layout == "pair3x":
+        assert nbits == 3
+        n_groups = in_features // PAIR3X_GROUP
+        kw = n_groups * PAIR3X_WORDS
+        vpw = -(-in_features // kw)  # fallback row bound only
+    elif layout == "pair3":
         # Every payload bit is used (16 = 8x2-bit = 16x1-bit per half),
         # so uniform random words ARE uniform random 3-bit indices.
         assert nbits == 3
@@ -72,6 +80,12 @@ def _fast_packed_linear(rng: np.ndarray, in_features: int,
         kw = -(-in_features // bk) * bk // vpw
     words = rng.randint(-2 ** 31, 2 ** 31, (kw, out_features),
                         dtype=np.int64).astype(np.int32)
+    if layout == "pair3x":
+        # The 4-bit-field section stores 3-bit indices: the top bit of
+        # every field must be zero for in-range (0..7) indices.
+        w3 = words.reshape(-1, PAIR3X_WORDS, out_features)
+        w3[:, :PAIR3X_P4_WORDS] &= 0x77777777
+        words = w3.reshape(kw, out_features)
     if len(codebook) != 2 ** nbits:
         # Random bits would produce out-of-range indices; fall back to a
         # real pack of clipped indices (non-power-of-two codebooks).

@@ -36,6 +36,9 @@ from sleekit_tpu.ops.pack import (
     PAIR3_LO_WORDS,
     PAIR3_TILE,
     PAIR3_WORDS,
+    PAIR3X_GROUP,
+    PAIR3X_P4_WORDS,
+    PAIR3X_WORDS,
     PLANE_GROUP,
     PackedLinear,
     pack_indices,
@@ -150,7 +153,7 @@ def _mantissa_kernel(x_ref, w_ref, o_ref, *, nbits, vpw, compute_dtype,
 def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
                  pre=None, eps=1e-5, k_valid=0, has_ln_b=False,
                  use_res=False, stacked=False, int8_mode=False,
-                 pair3=False):
+                 pair3=False, p3m=0, p3x=False):
     """Mantissa dequant over the bf16-PAIR layout: 2 values per VPU op.
 
     Each int32 word holds ``2*hp`` indices - ``hp`` bit planes in each
@@ -220,7 +223,8 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
         mlow = ((1 << nbits) - 1) << (7 - nbits)
         mask = jnp.int32(mlow | (mlow << 16))
         one = jnp.int32(0x3F803F80)
-    bk = PAIR3_TILE if pair3 else 2 * pg * hp
+    bk = (PAIR3X_GROUP if p3x else PAIR3_TILE if pair3
+          else 2 * pg * hp)
     if pre in ("layernorm", "rmsnorm"):
         x32 = x_ref[:].astype(jnp.float32)
         kp = x32.shape[1]
@@ -260,46 +264,112 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
         # one native convert + one MXU dot, zero shift/mask work.
         acc_ref[:] += jnp.dot(x, words_all.astype(jnp.bfloat16),
                               preferred_element_type=jnp.float32)
-    for t in range(kb if not int8_mode else 0):
-        words = words_all[t * pg:(t + 1) * pg]
-        if pair3:
-            # 3-bit-native tile: 2-bit low plane (16 words) + 1-bit high
-            # plane (8 words) per 256 K rows (ops/pack.py pair3). Both
-            # planes expand by the same one-shift-per-bf16-PAIR mantissa
-            # trick; the weighted recombination idx = lo + 4*hi is folded
-            # into the epilogue: with c_lo = 1 + lo/4 and c_hi = 1 + hi/2,
-            #   x @ W = 4*step*[x@c_lo + (2x)@c_hi] + (zero-12*step)*rs
-            # so a_aff = 4*step, b_aff = zero - 12*step (dispatch below).
-            # (Swept alternatives, BENCH_NOTES round 4: an exponent-field
-            # hi plane with a second accumulator saves the OR but LOSES
-            # 9% on the full bench - the extra accumulator breaks the
-            # MXU accumulation chain.)
-            wlo = words[:PAIR3_LO_WORDS]
-            whi = words[PAIR3_LO_WORDS:]
-            m_lo = jnp.int32(0x60 | (0x60 << 16))
-            m_hi = jnp.int32(0x40 | (0x40 << 16))
-            planes = []
+    if (pair3 or p3x) and not int8_mode:
+        # Shared pair3-tile plane extraction: 2-bit low plane (16 words)
+        # + 1-bit high plane (8 words) per 256 K rows (ops/pack.py
+        # pair3). Both planes expand by the same one-shift-per-bf16-PAIR
+        # mantissa trick; the weighted recombination idx = lo + 4*hi is
+        # folded into the epilogue: with c_lo = 1 + lo/4 and c_hi =
+        # 1 + hi/2,
+        #   x @ W = 4*step*[x@c_lo + (2x)@c_hi] + (zero-12*step)*rs
+        # so a_aff = 4*step, b_aff = zero - 12*step (dispatch below).
+        # (Swept alternatives, BENCH_NOTES round 4: an exponent-field
+        # hi plane with a second accumulator saves the OR but LOSES 9%
+        # on the full bench - the extra accumulator breaks the MXU
+        # accumulation chain.)
+        m_lo = jnp.int32(0x60 | (0x60 << 16))
+        m_hi = jnp.int32(0x40 | (0x40 << 16))
+
+        def _lo_planes(wlo):
+            out = []
             for j in range(8):
                 s = 5 - 2 * j
                 w = (lax.shift_left(wlo, jnp.int32(s)) if s >= 0
                      else lax.shift_right_logical(wlo, jnp.int32(-s)))
-                planes.append(pltpu.bitcast((w & m_lo) | one, jnp.bfloat16))
-            c_lo = jnp.concatenate(planes, axis=0)         # (256, BN)
-            xb = x[:, t * bk:(t + 1) * bk]
-            # Issue the lo dot BEFORE unpacking the hi plane: the hi
-            # extraction is the pure-VPU half of the 2+1 split and
-            # overlaps the MXU pass over c_lo (+6.7% on the full bench).
-            acc_ref[:] += jnp.dot(xb, c_lo,
-                                  preferred_element_type=jnp.float32)
-            planes = []
+                out.append(pltpu.bitcast((w & m_lo) | one, jnp.bfloat16))
+            return out
+
+        def _hi_planes(whi):
+            out = []
             for j in range(16):
                 s = 6 - j
                 w = (lax.shift_left(whi, jnp.int32(s)) if s >= 0
                      else lax.shift_right_logical(whi, jnp.int32(-s)))
-                planes.append(pltpu.bitcast((w & m_hi) | one, jnp.bfloat16))
-            c_hi = jnp.concatenate(planes, axis=0)         # (256, BN)
-            acc_ref[:] += jnp.dot(xb + xb, c_hi,
-                                  preferred_element_type=jnp.float32)
+                out.append(pltpu.bitcast((w & m_hi) | one, jnp.bfloat16))
+            return out
+
+    p3_c, p3_x = [], []  # p3m=2: accumulate one whole-grid-step dot
+    for t in range(kb if not int8_mode else 0):
+        words = words_all[t * pg:(t + 1) * pg]
+        if p3x:
+            # Mixed group (ops/pack.py pair3x): 256 rows of 4-bit fields
+            # in a standard pair tile, OR'd into exponent-129 bf16s so
+            # c4 = 4 + idx/4 carries the same Sigma x*idx/4 coefficient
+            # as the pair3 half; then one pair3 tile. The section-
+            # weighted rowsum (4*rs_p4 + 3*rs_p3) rides scratch column 1
+            # and the epilogue subtracts a_aff * xs1 (see _pair_affine).
+            w4 = words[:PAIR3X_P4_WORDS]
+            wlo = words[PAIR3X_P4_WORDS:PAIR3X_P4_WORDS + 16]
+            whi = words[PAIR3X_P4_WORDS + 16:]
+            m4 = jnp.int32(0x78 | (0x78 << 16))
+            one4 = jnp.int32(0x40804080)
+            p4 = []
+            for j in range(4):
+                s = 3 - 4 * j
+                w = (lax.shift_left(w4, jnp.int32(s)) if s >= 0
+                     else lax.shift_right_logical(w4, jnp.int32(-s)))
+                p4.append(pltpu.bitcast((w & m4) | one4, jnp.bfloat16))
+            xb4 = x[:, t * bk: t * bk + 256]
+            xb3 = x[:, t * bk + 256:(t + 1) * bk]
+            xs_ref[:, 1:2] += (
+                4.0 * jnp.sum(xb4.astype(jnp.float32), axis=1,
+                              keepdims=True)
+                + 3.0 * jnp.sum(xb3.astype(jnp.float32), axis=1,
+                                keepdims=True))
+            if p3m == 2:
+                p3_c += p4 + _lo_planes(wlo) + _hi_planes(whi)
+                p3_x += [xb4, xb3, xb3 + xb3]
+            else:
+                c4 = jnp.concatenate(p4, axis=0)           # (256, BN)
+                acc_ref[:] += jnp.dot(xb4, c4,
+                                      preferred_element_type=jnp.float32)
+                c_lo = jnp.concatenate(_lo_planes(wlo), axis=0)
+                acc_ref[:] += jnp.dot(xb3, c_lo,
+                                      preferred_element_type=jnp.float32)
+                c_hi = jnp.concatenate(_hi_planes(whi), axis=0)
+                acc_ref[:] += jnp.dot(xb3 + xb3, c_hi,
+                                      preferred_element_type=jnp.float32)
+            continue
+        if pair3:
+            wlo = words[:PAIR3_LO_WORDS]
+            whi = words[PAIR3_LO_WORDS:]
+            xb = x[:, t * bk:(t + 1) * bk]
+            if p3m == 0:
+                c_lo = jnp.concatenate(_lo_planes(wlo), axis=0)  # (256, BN)
+                # Issue the lo dot BEFORE unpacking the hi plane: the hi
+                # extraction is the pure-VPU half of the 2+1 split and
+                # overlaps the MXU pass over c_lo (+6.7% on the full
+                # bench).
+                acc_ref[:] += jnp.dot(xb, c_lo,
+                                      preferred_element_type=jnp.float32)
+                c_hi = jnp.concatenate(_hi_planes(whi), axis=0)
+                acc_ref[:] += jnp.dot(xb + xb, c_hi,
+                                      preferred_element_type=jnp.float32)
+            elif p3m == 1:
+                # Merged single dot per tile: [c_lo; c_hi] as one (512,
+                # BN) operand against [xb | 2xb] - one MXU accumulation
+                # chain instead of two K=256 chains (A/B knob p3m).
+                c = jnp.concatenate(_lo_planes(wlo) + _hi_planes(whi),
+                                    axis=0)
+                x2 = jnp.concatenate([xb, xb + xb], axis=1)
+                acc_ref[:] += jnp.dot(x2, c,
+                                      preferred_element_type=jnp.float32)
+            else:
+                # p3m=2: defer every tile's planes to ONE dot per grid
+                # step (one MXU accumulation chain per step: +9% on the
+                # full bench vs the per-tile dot pair, round 4).
+                p3_c += _lo_planes(wlo) + _hi_planes(whi)
+                p3_x += [xb, xb + xb]
             continue
         planes = []
         for j in range(hp):
@@ -319,10 +389,16 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
             c = jnp.concatenate(planes, axis=0)  # (bk, BN) bf16
             acc_ref[:] += jnp.dot(x[:, t * bk:(t + 1) * bk], c,
                                   preferred_element_type=jnp.float32)
+    if p3_c:
+        acc_ref[:] += jnp.dot(jnp.concatenate(p3_x, axis=1),
+                              jnp.concatenate(p3_c, axis=0),
+                              preferred_element_type=jnp.float32)
 
     @pl.when(k_step == nk - 1)
     def _():
         out = a_aff * acc_ref[:]
+        if p3x:
+            out = out - a_aff * xs_ref[:, 1:2]
         if b_aff != 0.0:
             out = out + b_aff * xs_ref[:, :1]
         out = out * scale_ref[0, :][None, :] + bias_ref[0, :][None, :]
@@ -346,12 +422,19 @@ def _round_up(x: int, m: int) -> int:
 # microbenchmark wins do not transfer across back-to-back kernel
 # launches here. Tuning decisions are taken on the full bench
 # (BENCH_PAIR_TUNE=kb<K>s<0|1>d<0|1>[bn<N>] env A/B in bench.py).
-PAIR_TUNE = {"kb": 0, "split": False, "dim_sem": False, "bn": 0}
+# p3m: pair3/pair3x dot scheduling - 0 = per-tile dots (lo-dot/hi-unpack
+# interleave), 1 = one merged dot per tile, 2 = ONE merged dot per grid
+# step. 2 is the default: one MXU accumulation chain per K step measured
+# +3.3% (pair3) / +3.3% (pair3x) on the full bench (round 4).
+PAIR_TUNE = {"kb": 0, "split": False, "dim_sem": False, "bn": 0, "p3m": 2}
 
 
-def _pair_kb(nbits: int, kb: int, pair3: bool = False) -> int:
+def _pair_kb(nbits: int, kb: int, pair3: bool = False,
+             p3x: bool = False) -> int:
     if kb > 0:
         return kb
+    if p3x:
+        return max(1, 256 // PAIR3X_WORDS)
     if pair3:
         return max(1, 256 // PAIR3_WORDS)
     return max(1, 256 // pair_group(nbits))
@@ -359,11 +442,12 @@ def _pair_kb(nbits: int, kb: int, pair3: bool = False) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "nbits", "affine_a", "affine_b", "block_n", "interpret",
-    "kb", "split", "dim_sem", "bn", "pre", "eps", "pair3"))
+    "kb", "split", "dim_sem", "bn", "pre", "eps", "pair3", "p3m", "p3x"))
 def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
                       residual=None, layer=None, *, nbits, affine_a,
                       affine_b, block_n, interpret, kb=1, split=False,
-                      dim_sem=False, bn=0, pre=None, eps=1e-5, pair3=False):
+                      dim_sem=False, bn=0, pre=None, eps=1e-5, pair3=False,
+                      p3m=0, p3x=False):
     if bn > 0:
         block_n = bn
     m, k = x.shape
@@ -372,13 +456,16 @@ def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
         k //= 2  # x holds [gate | up]; the dot contracts over k
     stacked = packed.ndim == 3
     kw, n = packed.shape[-2:]
-    if pair3:
+    if p3x:
+        hp, pg, split = 0, PAIR3X_WORDS, False
+    elif pair3:
         hp, pg, split = 0, PAIR3_WORDS, False
     else:
         hp, pg = pair_planes(nbits), pair_group(nbits)
-    kb = _pair_kb(nbits, kb, pair3)
-    bk = PAIR3_TILE if pair3 else 2 * pg * hp
-    if pair3:
+    kb = _pair_kb(nbits, kb, pair3, p3x)
+    bk = (PAIR3X_GROUP if p3x else PAIR3_TILE if pair3
+          else 2 * pg * hp)
+    if pair3 or p3x:
         # Shrink kb until the grid-step granularity divides the packed
         # word rows - pair3 exists to kill K padding, so never pad it
         # back in at the grid level (e.g. 8 tiles for K=2048).
@@ -427,7 +514,8 @@ def _pallas_pair_impl(x, packed, scale, bias, ln_scale=None, ln_bias=None,
                                kb=kb, split=split, pre=pre, eps=eps,
                                k_valid=k, has_ln_b=ln_bias is not None,
                                use_res=residual is not None,
-                               stacked=stacked, pair3=pair3)
+                               stacked=stacked, pair3=pair3, p3m=p3m,
+                               p3x=p3x)
 
     # With scalar prefetch (stacked mode) every index map takes the layer
     # scalar ref as a trailing arg; the weight map addresses the (L, kw,
@@ -600,6 +688,11 @@ def _pair_affine(w: PackedLinear):
         # acc = x@c_lo + (2x)@c_hi with c_lo = 1+lo/4, c_hi = 1+hi/2 and
         # idx = lo + 4*hi: x@W = 4*step*acc + (zero - 12*step)*rowsum.
         return 4.0 * step, zero - 12.0 * step
+    if w.layout == "pair3x":
+        # acc = Sigma x*idx / 4 + (4*rs_p4 + 3*rs_p3); the section-
+        # weighted rowsum is accumulated in scratch column 1 and
+        # subtracted in the epilogue, so b_aff carries only `zero`.
+        return 4.0 * step, zero
     a = step * float(2 ** w.nbits)
     return a, zero - a
 
@@ -778,7 +871,7 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
                 interpret=interpret)
             for i in range(0, xp.shape[0], PREFILL_CHUNK_M)]
         return jnp.concatenate(parts, axis=0)[:x.shape[0]]
-    if w.layout in ("pair", "pair3"):
+    if w.layout in ("pair", "pair3", "pair3x"):
         # bf16-pair fast path: exact while the index fits the bf16
         # mantissa and the codebook is affine (uniform); anything else
         # should be packed with layout='plane'. The kernel computes in
@@ -791,7 +884,8 @@ def dequant_matmul_pallas(x: jnp.ndarray, w: PackedLinear,
                 x, w.packed, w.scale, w.bias, layer=w.layer_sel,
                 nbits=w.nbits, affine_a=a, affine_b=b,
                 block_n=block_n, interpret=interpret,
-                pair3=w.layout == "pair3", **PAIR_TUNE)
+                pair3=w.layout == "pair3", p3x=w.layout == "pair3x",
+                **PAIR_TUNE)
         return dequant_matmul_xla(x, w)
     if w.layout == "int8":
         if (w.affine is not None and x.dtype == jnp.bfloat16
@@ -829,7 +923,7 @@ def quantized_matmul(x: jnp.ndarray, w: PackedLinear,
 def can_fuse_glue(x: jnp.ndarray, w: PackedLinear) -> bool:
     """Whether the decode-glue fusion (pre-norm / pre-activation /
     residual inside the kernel) applies to this matmul."""
-    ok_pair = w.layout in ("pair", "pair3") and w.nbits <= 7
+    ok_pair = w.layout in ("pair", "pair3", "pair3x") and w.nbits <= 7
     ok_int8 = (w.layout == "int8" and w.nbits == 8
                and w.layer_sel is None)
     return ((ok_pair or ok_int8) and w.affine is not None
@@ -866,7 +960,8 @@ def fused_quantized_matmul(x: jnp.ndarray, w: PackedLinear, *,
             x, w.packed, w.scale, w.bias, ln_scale, ln_bias, residual,
             w.layer_sel, nbits=w.nbits, affine_a=a, affine_b=b,
             block_n=1024, interpret=interpret, pre=pre, eps=eps,
-            pair3=w.layout == "pair3", **PAIR_TUNE)
+            pair3=w.layout == "pair3", p3x=w.layout == "pair3x",
+            **PAIR_TUNE)
     h32 = x.astype(jnp.float32)
     if pre == "layernorm":
         mu = jnp.mean(h32, axis=-1, keepdims=True)

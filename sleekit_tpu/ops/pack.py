@@ -69,7 +69,7 @@ PLANE_GROUP = 32
 # Word-row group size of the pair layout (below).
 PAIR_GROUP = 32
 
-LAYOUTS = ("linear", "plane", "pair", "pair3", "int8")
+LAYOUTS = ("linear", "plane", "pair", "pair3", "pair3x", "int8")
 
 # 'pair3' (3-bit native): each 3-bit index splits into a 2-bit low plane
 # and a 1-bit high plane, each stored in its own bf16-pair arrangement
@@ -86,6 +86,22 @@ LAYOUTS = ("linear", "plane", "pair", "pair3", "int8")
 PAIR3_TILE = 256           # K rows per tile
 PAIR3_WORDS = 24           # word rows per tile (16 low + 8 high)
 PAIR3_LO_WORDS = 16
+
+# 'pair3x' (3-bit mixed): each 512-K-row group stores its first 256 rows
+# as 4-BIT fields in one standard pair tile (32 words; the spare top bit
+# is zero) and its last 256 rows as one pair3 tile (24 words) -> 56
+# words per 512 rows = 0.875x int4 bytes. Why: on v5e the int4 pair
+# kernel is DMA-bound (VPU unpack ~0.55x of its HBM stream time) while
+# pure pair3 is VPU-bound (~1.5x) - mixing the two balances the
+# pipeline, serving 3-bit checkpoints FASTER than int4 at fewer bytes
+# (round-4 bench). Dequant: the 4-bit section ORs the field into
+# exponent-129 bf16s (c4 = 4 + idx/4) so both sections contribute
+# Sigma x*idx / 4 to one accumulator; the section-weighted rowsum
+# (4*rs_pair + 3*rs_pair3) rides a second scratch column and is
+# subtracted in the epilogue (ops/dequant_matmul._pair_kernel).
+PAIR3X_GROUP = 512         # K rows per mixed group
+PAIR3X_WORDS = 56          # word rows per group (32 4-bit + 16 lo + 8 hi)
+PAIR3X_P4_WORDS = 32
 
 
 def pair_planes(nbits: int) -> int:
@@ -174,6 +190,36 @@ def pack_indices(idx: jnp.ndarray, nbits: int,
         words = jnp.concatenate([wlo, whi], axis=1)
         words = words.reshape(nt * PAIR3_WORDS, n)
         return jax.lax.bitcast_convert_type(words, jnp.int32)
+    if layout == "pair3x":
+        assert nbits == 3, "pair3x is the 3-bit mixed layout"
+        assert k % PAIR3X_GROUP == 0, (
+            f"pair3x requires K % {PAIR3X_GROUP} == 0 (got {k}); "
+            "use layout='pair3' for other K")
+        g = k // PAIR3X_GROUP
+        idxg = idx.astype(jnp.uint32).reshape(g, 2, 256, n)
+        a, b = idxg[:, 0], idxg[:, 1]
+        # first 256 rows: 4-bit fields, standard pair tile (hp=4, pg=32):
+        # k_local = j*64 + 2*p + h
+        ta = a.reshape(g, 4, 32, 2, n)
+        sa = (16 * jnp.arange(2, dtype=jnp.uint32)[None, :]
+              + 4 * jnp.arange(4, dtype=jnp.uint32)[:, None])
+        wa = jnp.sum(ta << sa[None, :, None, :, None], axis=(1, 3),
+                     dtype=jnp.uint32)                   # (g, 32, n)
+        # last 256 rows: one pair3 tile (see the pair3 branch above)
+        lo, hi = b & 3, b >> 2
+        tl = lo.reshape(g, 8, 16, 2, n)
+        sl = (16 * jnp.arange(2, dtype=jnp.uint32)[None, :]
+              + 2 * jnp.arange(8, dtype=jnp.uint32)[:, None])
+        wlo = jnp.sum(tl << sl[None, :, None, :, None], axis=(1, 3),
+                      dtype=jnp.uint32)                  # (g, 16, n)
+        th = hi.reshape(g, 16, 8, 2, n)
+        sh = (16 * jnp.arange(2, dtype=jnp.uint32)[None, :]
+              + jnp.arange(16, dtype=jnp.uint32)[:, None])
+        whi = jnp.sum(th << sh[None, :, None, :, None], axis=(1, 3),
+                      dtype=jnp.uint32)                  # (g, 8, n)
+        words = jnp.concatenate([wa, wlo, whi], axis=1)
+        words = words.reshape(g * PAIR3X_WORDS, n)
+        return jax.lax.bitcast_convert_type(words, jnp.int32)
     vpw = vals_per_word(nbits)
     if layout == "linear":
         k_pad = -(-k // vpw) * vpw
@@ -216,6 +262,29 @@ def unpack_indices(packed: jnp.ndarray, nbits: int, k: int,
             whi[:, None, None], sh[None, :, :, None, None]) & 1
         hi = hi.transpose(0, 1, 3, 2, 4).reshape(nt * PAIR3_TILE, n)
         return (lo + 4 * hi)[:k]
+    if layout == "pair3x":
+        g = kw // PAIR3X_WORDS
+        tiles = packed.reshape(g, PAIR3X_WORDS, n)
+        wa = tiles[:, :PAIR3X_P4_WORDS]                    # (g, 32, n)
+        wlo = tiles[:, PAIR3X_P4_WORDS:PAIR3X_P4_WORDS + 16]
+        whi = tiles[:, PAIR3X_P4_WORDS + 16:]
+        sa = (16 * jnp.arange(2, dtype=jnp.int32)[None, :]
+              + 4 * jnp.arange(4, dtype=jnp.int32)[:, None])
+        aa = jax.lax.shift_right_logical(
+            wa[:, None, None], sa[None, :, :, None, None]) & 15
+        aa = aa.transpose(0, 1, 3, 2, 4).reshape(g, 256, n)
+        sl = (16 * jnp.arange(2, dtype=jnp.int32)[None, :]
+              + 2 * jnp.arange(8, dtype=jnp.int32)[:, None])
+        lo = jax.lax.shift_right_logical(
+            wlo[:, None, None], sl[None, :, :, None, None]) & 3
+        lo = lo.transpose(0, 1, 3, 2, 4).reshape(g, 256, n)
+        sh = (16 * jnp.arange(2, dtype=jnp.int32)[None, :]
+              + jnp.arange(16, dtype=jnp.int32)[:, None])
+        hi = jax.lax.shift_right_logical(
+            whi[:, None, None], sh[None, :, :, None, None]) & 1
+        hi = hi.transpose(0, 1, 3, 2, 4).reshape(g, 256, n)
+        full = jnp.concatenate([aa, lo + 4 * hi], axis=1)
+        return full.reshape(g * PAIR3X_GROUP, n)[:k]
     if layout == "pair":
         hp, pg = pair_planes(nbits), pair_group(nbits)
         shifts = (16 * jnp.arange(2, dtype=jnp.int32)[None, :]
@@ -327,10 +396,16 @@ def split_packed_k(p: PackedLinear, n: int) -> PackedLinear:
         f"K={p.in_features} not divisible by {n} shards")
     k_local = p.in_features // n
     idx = unpack_indices(p.packed, p.nbits, p.in_features, layout=p.layout)
+    layout = p.layout
+    if layout == "pair3x" and k_local % PAIR3X_GROUP:
+        # Mixed groups need K_local % 512 == 0; shards that slice finer
+        # re-pack in the memory-optimal pair3 layout instead.
+        layout = "pair3"
     chunks = [pack_indices(idx[i * k_local:(i + 1) * k_local], p.nbits,
-                           layout=p.layout) for i in range(n)]
+                           layout=layout) for i in range(n)]
     return dataclasses.replace(
-        p, packed=jnp.concatenate(chunks, axis=0), k_splits=n)
+        p, packed=jnp.concatenate(chunks, axis=0), k_splits=n,
+        layout=layout)
 
 
 def localize_packed_shard(p: PackedLinear, n: int,
@@ -403,7 +478,11 @@ def pack_quantized(
     nbits = bits_for_codebook(int(lut.shape[0]))
     if layout == "auto":
         aff = affine_from_lut(lut) is not None
-        layout = ("pair3" if aff and nbits == 3
+        # 3-bit: pair3x (mixed; serves at int4 speed, 0.875x int4 bytes)
+        # when K allows, else pair3 (memory-optimal 0.75x, ~-2.5%).
+        layout = ("pair3x" if aff and nbits == 3
+                  and in_f % PAIR3X_GROUP == 0
+                  else "pair3" if aff and nbits == 3
                   else "pair" if aff and nbits <= 7
                   else "int8" if aff and nbits == 8 else "plane")
     packed = pack_indices(idx.T, nbits, layout=layout)  # serving layout (K, N)

@@ -158,8 +158,10 @@ def test_checkpoint_roundtrip_pair3_and_nf4(tmp_path):
     (plane LUT) checkpoints round-trip bit-exact through skq2."""
     from sleekit_tpu.codebooks import Codebook, UniformCodebook
 
-    cfg = tiny_test(n_layers=2)
+    # d_model 512 so the pair3x mixed groups (K % 512 == 0) really pack.
+    cfg = tiny_test(n_layers=2, d_model=512, d_ff=1024)
     for name, cb, layout in (("p3", UniformCodebook(8, -1, 1), "pair3"),
+                             ("p3x", UniformCodebook(8, -1, 1), "pair3x"),
                              ("nf4", Codebook.nf4(), "plane")):
         params, _ = random_packed_params(cfg, jax.random.PRNGKey(3), cb,
                                          layout=layout)

@@ -283,10 +283,10 @@ def test_pair3_pack_unpack_roundtrip():
 
 
 def test_pair3_auto_layout_and_bytes():
-    """pack_quantized picks pair3 for 3-bit affine codebooks, and the
-    packed bytes are the true 0.75x of the 4-bit pair layout (the plain
-    pair layout's 640-row tiles pad K=2048 back to int4 size - VERDICT
-    round-3 missing #2)."""
+    """pack_quantized picks pair3x for 3-bit affine codebooks when K
+    divides into 512-row mixed groups (serves at int4 speed, 0.875x its
+    bytes), pair3 otherwise (true 0.75x; the plain pair layout's 640-row
+    tiles pad K=2048 back to int4 size - VERDICT round-3 missing #2)."""
     from sleekit_tpu.codebooks import UniformCodebook
     from sleekit_tpu.ops.pack import pack_quantized
 
@@ -298,8 +298,16 @@ def test_pair3_auto_layout_and_bytes():
     q4 = cb4(jnp.asarray(w) / scale[:, None]) * scale[:, None]
     p3 = pack_quantized(q3, jnp.asarray(scale), cb3)
     p4 = pack_quantized(q4, jnp.asarray(scale), cb4)
-    assert p3.layout == "pair3" and p4.layout == "pair"
-    assert p3.packed.size * 4 == int(0.75 * p4.packed.size * 4)
+    assert p3.layout == "pair3x" and p4.layout == "pair"
+    assert p3.packed.size * 4 == int(0.875 * p4.packed.size * 4)
+    np.testing.assert_allclose(np.asarray(p3.dequantize()),
+                               np.asarray(q3).T, rtol=1e-5, atol=1e-6)
+
+    # K=768 doesn't divide into 512-row groups -> memory-optimal pair3.
+    w = rng.randn(64, 768).astype(np.float32)
+    q3 = cb3(jnp.asarray(w) / scale[:, None]) * scale[:, None]
+    p3 = pack_quantized(q3, jnp.asarray(scale), cb3)
+    assert p3.layout == "pair3"
     np.testing.assert_allclose(np.asarray(p3.dequantize()),
                                np.asarray(q3).T, rtol=1e-5, atol=1e-6)
 
@@ -324,6 +332,22 @@ def test_pair3_kernel_matches_xla():
                                            interpret=True), np.float32)
     err = np.abs(got - oracle).max() / (np.abs(oracle).max() + 1e-9)
     assert err < 2e-2, err
+
+    # The merged-dot A/B variants (p3m=1: one K=512 dot per tile; p3m=2:
+    # one dot per grid step) must be numerically identical schedules of
+    # the same math.
+    import sleekit_tpu.ops.dequant_matmul as dq
+
+    for p3m in (1, 2):
+        old = dict(dq.PAIR_TUNE)
+        dq.PAIR_TUNE["p3m"] = p3m
+        try:
+            alt = np.asarray(dequant_matmul_pallas(
+                x, w, block_n=128, interpret=True), np.float32)
+        finally:
+            dq.PAIR_TUNE = old
+        err = np.abs(alt - oracle).max() / (np.abs(oracle).max() + 1e-9)
+        assert err < 2e-2, (p3m, err)
 
 
 def test_pair3_stacked_layer_sel_matches_per_layer():
@@ -416,6 +440,118 @@ def test_pair3_end_to_end_decode_matches_pair():
     # streams differ; this is a plumbing test (fused qkv + stacked scan
     # + XLA fallback all route pair3 end to end without error).
     assert toks["pair"].shape == toks["pair3"].shape == (2, 8)
+
+
+def test_pair3x_pack_unpack_roundtrip():
+    """pair3x (3-bit mixed 4-bit-field + pair3 groups): pack/unpack is
+    the identity and realizes 56 words per 512 rows (0.875x int4)."""
+    from sleekit_tpu.ops.pack import PAIR3X_WORDS
+
+    rng = np.random.RandomState(47)
+    for k, n in ((512, 8), (1536, 200), (2048, 64)):
+        idx = rng.randint(0, 8, (k, n)).astype(np.int32)
+        packed = pack_indices(jnp.asarray(idx), 3, layout="pair3x")
+        assert packed.shape[0] == (k // 512) * PAIR3X_WORDS
+        back = np.asarray(unpack_indices(packed, 3, k, layout="pair3x"))
+        np.testing.assert_array_equal(back, idx)
+
+
+def test_pair3x_kernel_matches_xla():
+    """pair3x Pallas kernel (interpret) == XLA oracle, incl. the merged
+    p3m variants and a multi-k-step grid."""
+    from sleekit_tpu.ops.pack import affine_from_lut
+
+    import sleekit_tpu.ops.dequant_matmul as dq
+
+    rng = np.random.RandomState(51)
+    K, N = 1536, 200  # 3 groups: auto kb=4 must shrink to 3
+    lut = np.linspace(-1.0, 1.0, 8).astype(np.float32)
+    idx = jnp.asarray(rng.randint(0, 8, (K, N)), jnp.int32)
+    w = PackedLinear(
+        packed=pack_indices(idx, 3, layout="pair3x"),
+        scale=jnp.asarray(rng.rand(N).astype(np.float32) + 0.5),
+        lut=jnp.asarray(lut), bias=None, in_features=K, out_features=N,
+        nbits=3, affine=affine_from_lut(lut), layout="pair3x")
+    x = jnp.asarray(rng.randn(4, K).astype(np.float32)).astype(jnp.bfloat16)
+    oracle = np.asarray(dequant_matmul_xla(x, w), np.float32)
+    for p3m in (0, 2):
+        old = dict(dq.PAIR_TUNE)
+        dq.PAIR_TUNE["p3m"] = p3m
+        try:
+            got = np.asarray(dequant_matmul_pallas(
+                x, w, block_n=128, interpret=True), np.float32)
+        finally:
+            dq.PAIR_TUNE = old
+        err = np.abs(got - oracle).max() / (np.abs(oracle).max() + 1e-9)
+        assert err < 2e-2, (p3m, err)
+
+
+def test_pair3x_split_packed_k_tp_shards():
+    """split_packed_k round-trips pair3x at 512-multiple shards and
+    downgrades to pair3 when shards slice finer than a mixed group."""
+    from sleekit_tpu.ops.pack import (affine_from_lut, localize_packed_shard,
+                                      split_packed_k)
+
+    rng = np.random.RandomState(57)
+    K, N = 2048, 96
+    lut = np.linspace(-1.0, 1.0, 8).astype(np.float32)
+    idx = jnp.asarray(rng.randint(0, 8, (K, N)), jnp.int32)
+    w = PackedLinear(
+        packed=pack_indices(idx, 3, layout="pair3x"),
+        scale=jnp.asarray(rng.rand(N).astype(np.float32) + 0.5),
+        lut=jnp.asarray(lut), bias=None, in_features=K, out_features=N,
+        nbits=3, affine=affine_from_lut(lut), layout="pair3x")
+    dense = np.asarray(w.dequantize())
+    for parts, want_layout in ((4, "pair3x"), (8, "pair3")):
+        sp = split_packed_k(w, parts)
+        assert sp.layout == want_layout
+        kw = sp.packed.shape[0] // parts
+        for i in range(parts):
+            shard = localize_packed_shard(
+                PackedLinear(
+                    packed=sp.packed[i * kw:(i + 1) * kw], scale=sp.scale,
+                    lut=sp.lut, bias=None, in_features=K, out_features=N,
+                    nbits=3, affine=sp.affine, layout=sp.layout,
+                    k_splits=parts), parts, row_parallel=True)
+            np.testing.assert_allclose(
+                np.asarray(shard.dequantize()),
+                dense[i * (K // parts):(i + 1) * (K // parts)],
+                rtol=1e-6, atol=1e-7)
+
+
+def test_pair3x_fused_glue_and_stacked():
+    """pair3x through the fused-glue path (pre-layernorm + residual) and
+    the stacked zero-copy layer_sel mode equals the XLA composition."""
+    import dataclasses
+
+    from sleekit_tpu.ops.dequant_matmul import fused_quantized_matmul
+    from sleekit_tpu.ops.pack import affine_from_lut
+
+    rng = np.random.RandomState(53)
+    L, K, N = 2, 512, 128
+    lut = np.linspace(-1.0, 1.0, 8).astype(np.float32)
+    idxs = [jnp.asarray(rng.randint(0, 8, (K, N)), jnp.int32)
+            for _ in range(L)]
+    stacked = jnp.stack([pack_indices(i, 3, layout="pair3x")
+                         for i in idxs])
+    scale = jnp.asarray(rng.rand(N).astype(np.float32) + 0.5)
+    ln_s = jnp.asarray(rng.rand(K).astype(np.float32) + 0.5)
+    x = jnp.asarray(rng.randn(4, K).astype(np.float32)).astype(jnp.bfloat16)
+    base = PackedLinear(
+        packed=stacked, scale=scale, lut=jnp.asarray(lut), bias=None,
+        in_features=K, out_features=N, nbits=3,
+        affine=affine_from_lut(lut), layout="pair3x")
+    for li in range(L):
+        per = dataclasses.replace(base, packed=stacked[li])
+        want = np.asarray(fused_quantized_matmul(
+            x, per, pre="rmsnorm", ln_scale=ln_s, use_pallas=False),
+            np.float32)
+        sel = dataclasses.replace(base, layer_sel=jnp.int32(li))
+        got = np.asarray(fused_quantized_matmul(
+            x, sel, pre="rmsnorm", ln_scale=ln_s, interpret=True),
+            np.float32)
+        err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert err < 2e-2, err
 
 
 def test_plane_stacked_layer_sel_matches_per_layer():

@@ -93,8 +93,8 @@ def main(argv=None) -> int:
                         jnp.bfloat16)
         for nbits in (3, 4, 8):
             layouts = (("int8",) if nbits == 8
-                       else ("pair", "pair3", "plane") if nbits == 3
-                       else ("pair", "plane"))
+                       else ("pair", "pair3", "pair3x", "plane")
+                       if nbits == 3 else ("pair", "plane"))
             cb = UniformCodebook(2 ** nbits, -1.0, 1.0)
             scale = np.abs(W).max(axis=1) + 1e-3
             Q = np.asarray(cb(jnp.asarray(W / scale[:, None]))) * scale[:, None]
@@ -109,7 +109,7 @@ def main(argv=None) -> int:
                                                     interpret=interpret)
                 record(f"dequant_matmul/{gname}/int{nbits}/{layout}",
                        run, check=lambda ref=ref: ref)
-                if layout in ("pair", "pair3"):
+                if layout in ("pair", "pair3", "pair3x"):
                     # Glue fusion: pre-layernorm rides the kernel
                     # prologue - the full-K-row variant most likely to
                     # hit VMEM at 8B-class K.
