@@ -78,7 +78,8 @@ def main():
         import sleekit_tpu.models.transformer as _tr
         _tr.GLUE_FUSE = False
         log("  GLUE_FUSE disabled (A/B)")
-    if os.environ.get("BENCH_ATTN") or os.environ.get("BENCH_KV_CHUNK"):
+    if (os.environ.get("BENCH_ATTN") or os.environ.get("BENCH_KV_CHUNK")
+            or os.environ.get("BENCH_ATTN_FOLD")):
         import sleekit_tpu.ops.attention as _at
         if os.environ.get("BENCH_ATTN") == "bfold":
             _at.FLASH_BATCH_FOLD = True
@@ -88,9 +89,11 @@ def main():
             _at.FLASH_MHA_MODE = os.environ["BENCH_ATTN"]
         if os.environ.get("BENCH_KV_CHUNK"):
             _at.FLASH_KV_CHUNK = int(os.environ["BENCH_KV_CHUNK"])
+        if os.environ.get("BENCH_ATTN_FOLD"):
+            _at.FLASH_FOLD = int(os.environ["BENCH_ATTN_FOLD"])
         log(f"  attention A/B: mode={_at.FLASH_MHA_MODE} "
             f"bfold={_at.FLASH_BATCH_FOLD} kv_chunk={_at.FLASH_KV_CHUNK} "
-            f"fused={_at.FLASH_FUSED_APPEND}")
+            f"fused={_at.FLASH_FUSED_APPEND} fold={_at.FLASH_FOLD}")
 
     # BENCH_TEMP=0.7: decode via the fused SAMPLED scan (on-device
     # categorical sampling, PRNG key in the scan carry) instead of greedy

@@ -486,7 +486,7 @@ def _fused_decode_kernel(pos_ref, layer_ref, q_ref, kn_ref, vn_ref,
                          k_ref, v_ref, slopes_ref, ks_ref, vs_ref,
                          o_ref, wk_ref, wv_ref, sk_ref, sv_ref,
                          acc_ref, m_ref, l_ref, *,
-                         scale, kv, groups, s_blk):
+                         scale, kv, groups, s_blk, fold=1):
     """Append-fused flash decode: one kernel per layer does BOTH the
     in-place KV append and the masked flash attention.
 
@@ -522,122 +522,136 @@ def _fused_decode_kernel(pos_ref, layer_ref, q_ref, kn_ref, vn_ref,
 
     D_ = q_ref.shape[-1]
     cdt = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-    qf = q_ref[0].reshape(rows, D_)
-    k = k_ref[0, 0].reshape(cols, D_)
-    logits = lax.dot_general(qf.astype(cdt), k.astype(cdt),
-                             (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
     kv_iota = lax.broadcasted_iota(jnp.int32, (kv, 1), 0)
 
-    def lane_vec(ref):
-        t = ref[0, 0]                                    # (KV, SB)
+    def lane_vec(t):
+        # (KV, SB) -> (1, KV*SB) per-lane scale vector
         rows_ = [jnp.sum(jnp.where(kv_iota == i, t, 0.0), axis=0,
                          keepdims=True) for i in range(kv)]
-        return jnp.concatenate(rows_, axis=1)            # (1, KV*SB)
+        return jnp.concatenate(rows_, axis=1)
 
-    if quantized:
-        logits = logits * lane_vec(ks_ref)
-    row_h = lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // groups
-    col_h = lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // s_blk
-    col_s = (lax.broadcasted_iota(jnp.int32, (rows, cols), 1) % s_blk
-             + ns * s_blk)
-    p = pos_ref[b]
-    if slopes_ref is not None:
-        slope = slopes_ref[...].astype(jnp.float32)          # (rows, 1)
-        logits = logits + slope * (col_s - p).astype(jnp.float32)
-    # STRICT mask: the streamed cache row at p is stale (pre-append);
-    # the new token's column is handled from VMEM below.
-    mask = (row_h == col_h) & (col_s < p)
-    logits = jnp.where(mask, logits, -jnp.inf)
-
-    # ---- the new token's column, from VMEM -------------------------------
-    kn = kn_ref[0]                                       # (kv, 1, D)
-    vn = vn_ref[0]
-    if quantized:
-        kq, ksc = _quant_rows(kn.astype(jnp.float32))    # int8, (kv,1,1)
-        vq, vsc = _quant_rows(vn.astype(jnp.float32))
-        # Parity with read-back: scales round-trip the stored dtype.
-        ksc = ksc[..., 0].astype(sk_ref.dtype).astype(jnp.float32)
-        vsc = vsc[..., 0].astype(sv_ref.dtype).astype(jnp.float32)
-        k_tok = kq.astype(cdt)                           # (kv, 1, D)
-        v_tok = vq.astype(cdt)
-        ks_rows = jnp.broadcast_to(ksc[:, :, None],
-                                   (kv, groups, 1)).reshape(rows, 1)
-        vs_rows = jnp.broadcast_to(vsc[:, :, None],
-                                   (kv, groups, 1)).reshape(rows, 1)
-    else:
-        k_tok = kn.astype(k_ref.dtype).astype(cdt)
-        v_tok = vn.astype(v_ref.dtype).astype(cdt)
-    knr = jnp.broadcast_to(k_tok, (kv, groups, D_)).reshape(rows, D_)
-    vnr = jnp.broadcast_to(v_tok, (kv, groups, D_)).reshape(rows, D_)
-    nl = jnp.sum(qf.astype(cdt).astype(jnp.float32)
-                 * knr.astype(jnp.float32), axis=-1, keepdims=True) * scale
-    if quantized:
-        nl = nl * ks_rows
-    # ALiBi distance for the new token is 0 - no bias term.
-    nl = jnp.where(ns == 0, nl, -jnp.inf)                # count it ONCE
-
-    m_blk = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), nl)
-    m_prev = m_ref[:, :1]
-    m_new = jnp.maximum(m_prev, m_blk)
-    alpha = jnp.exp(m_prev - m_new)                          # (rows, 1)
-    p_exp = jnp.exp(logits - m_new)                          # (rows, cols)
-    p_tok = jnp.exp(nl - m_new)                              # (rows, 1)
-    l_new = (l_ref[:, :1] * alpha + jnp.sum(p_exp, axis=-1, keepdims=True)
-             + p_tok)
-    v = v_ref[0, 0].reshape(cols, D_)
-    if quantized:
-        p_exp = p_exp * lane_vec(vs_ref)
-        p_tok = p_tok * vs_rows
-    pv = jnp.dot(p_exp.astype(cdt), v.astype(cdt),
-                 preferred_element_type=jnp.float32)         # (rows, D)
-    pv = pv + p_tok.astype(cdt).astype(jnp.float32) * vnr.astype(jnp.float32)
-    acc_ref[...] = acc_ref[...] * alpha + pv
-    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    # ---- persist the token: append-window + scale-block side outputs ----
-    # The output buffers are flushed ONCE per (b, chunk) - their index
-    # maps are constant in ns - so write them at the S-block containing
-    # p, where the stale window rows are already in VMEM.
-    @pl.when(ns == p // s_blk)
-    def _():
-        # The stale window rows are already in VMEM inside this s-block:
-        # a dynamic SUBLANE slice (8-aligned) reads them directly
-        # (probe-verified on v5e; a one-hot 3D dot_general gather does
-        # NOT lower - Mosaic dots are 2D-only).
-        w0 = pl.multiple_of((p % s_blk) // _APPEND_WIN * _APPEND_WIN,
-                            _APPEND_WIN)
-        wk0 = k_ref[0, 0, :, pl.ds(w0, _APPEND_WIN), :]  # (kv, WIN, D)
-        wv0 = v_ref[0, 0, :, pl.ds(w0, _APPEND_WIN), :]
+    # ``fold`` batch rows per program (uniform-position decode only):
+    # halves/quarters the per-layer program count - per-program launch +
+    # pipeline-setup overhead is the measured gap to the KV-stream bound
+    # (BENCH_NOTES round-3/4). r indexes the row within the program; all
+    # scratch carries are (fold*rows, .) slices.
+    for r in range(fold):
+        sl = slice(r * rows, (r + 1) * rows)
+        qf = q_ref[r].reshape(rows, D_)
+        k = k_ref[0, r].reshape(cols, D_)
+        logits = lax.dot_general(qf.astype(cdt), k.astype(cdt),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
         if quantized:
-            k_store = kq.astype(jnp.float32)             # (kv, 1, D)
-            v_store = vq.astype(jnp.float32)
+            logits = logits * lane_vec(ks_ref[0, r])
+        row_h = lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // groups
+        col_h = lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // s_blk
+        col_s = (lax.broadcasted_iota(jnp.int32, (rows, cols), 1) % s_blk
+                 + ns * s_blk)
+        p = pos_ref[b * fold + r]
+        if slopes_ref is not None:
+            slope = slopes_ref[...].astype(jnp.float32)      # (rows, 1)
+            logits = logits + slope * (col_s - p).astype(jnp.float32)
+        # STRICT mask: the streamed cache row at p is stale (pre-append);
+        # the new token's column is handled from VMEM below.
+        mask = (row_h == col_h) & (col_s < p)
+        logits = jnp.where(mask, logits, -jnp.inf)
+
+        # ---- the new token's column, from VMEM ---------------------------
+        kn = kn_ref[r]                                   # (kv, 1, D)
+        vn = vn_ref[r]
+        if quantized:
+            kq, ksc = _quant_rows(kn.astype(jnp.float32))  # int8, (kv,1,1)
+            vq, vsc = _quant_rows(vn.astype(jnp.float32))
+            # Parity with read-back: scales round-trip the stored dtype.
+            ksc = ksc[..., 0].astype(sk_ref.dtype).astype(jnp.float32)
+            vsc = vsc[..., 0].astype(sv_ref.dtype).astype(jnp.float32)
+            k_tok = kq.astype(cdt)                       # (kv, 1, D)
+            v_tok = vq.astype(cdt)
+            ks_rows = jnp.broadcast_to(ksc[:, :, None],
+                                       (kv, groups, 1)).reshape(rows, 1)
+            vs_rows = jnp.broadcast_to(vsc[:, :, None],
+                                       (kv, groups, 1)).reshape(rows, 1)
         else:
-            k_store = kn.astype(jnp.float32)
-            v_store = vn.astype(jnp.float32)
-        r = p % _APPEND_WIN
-        roww = lax.broadcasted_iota(jnp.int32, (_APPEND_WIN, 1), 0)
-        wmask = (roww == r)[None]                        # (1, WIN, 1)
-        wk_ref[0, 0] = jnp.where(
-            wmask, k_store, wk0.astype(jnp.float32)).astype(wk_ref.dtype)
-        wv_ref[0, 0] = jnp.where(
-            wmask, v_store, wv0.astype(jnp.float32)).astype(wv_ref.dtype)
+            k_tok = kn.astype(k_ref.dtype).astype(cdt)
+            v_tok = vn.astype(v_ref.dtype).astype(cdt)
+        knr = jnp.broadcast_to(k_tok, (kv, groups, D_)).reshape(rows, D_)
+        vnr = jnp.broadcast_to(v_tok, (kv, groups, D_)).reshape(rows, D_)
+        nl = jnp.sum(qf.astype(cdt).astype(jnp.float32)
+                     * knr.astype(jnp.float32), axis=-1,
+                     keepdims=True) * scale
         if quantized:
-            colv = (lax.broadcasted_iota(jnp.int32, (kv, s_blk), 1)
-                    + ns * s_blk)
-            smask = colv == p
-            sk_ref[0, 0] = jnp.where(
-                smask, jnp.broadcast_to(ksc, (kv, s_blk)),
-                ks_ref[0, 0].astype(jnp.float32)).astype(sk_ref.dtype)
-            sv_ref[0, 0] = jnp.where(
-                smask, jnp.broadcast_to(vsc, (kv, s_blk)),
-                vs_ref[0, 0].astype(jnp.float32)).astype(sv_ref.dtype)
+            nl = nl * ks_rows
+        # ALiBi distance for the new token is 0 - no bias term.
+        nl = jnp.where(ns == 0, nl, -jnp.inf)            # count it ONCE
+
+        m_blk = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), nl)
+        m_prev = m_ref[sl, :1]
+        m_new = jnp.maximum(m_prev, m_blk)
+        alpha = jnp.exp(m_prev - m_new)                      # (rows, 1)
+        p_exp = jnp.exp(logits - m_new)                      # (rows, cols)
+        p_tok = jnp.exp(nl - m_new)                          # (rows, 1)
+        l_new = (l_ref[sl, :1] * alpha
+                 + jnp.sum(p_exp, axis=-1, keepdims=True) + p_tok)
+        v = v_ref[0, r].reshape(cols, D_)
+        if quantized:
+            p_exp = p_exp * lane_vec(vs_ref[0, r])
+            p_tok = p_tok * vs_rows
+        pv = jnp.dot(p_exp.astype(cdt), v.astype(cdt),
+                     preferred_element_type=jnp.float32)     # (rows, D)
+        pv = (pv + p_tok.astype(cdt).astype(jnp.float32)
+              * vnr.astype(jnp.float32))
+        acc_ref[sl] = acc_ref[sl] * alpha + pv
+        m_ref[sl] = jnp.broadcast_to(m_new, (rows, m_ref.shape[1]))
+        l_ref[sl] = jnp.broadcast_to(l_new, (rows, l_ref.shape[1]))
+
+        # ---- persist the token: append-window + scale-block outputs -----
+        # The output buffers are flushed ONCE per (b, chunk) - their index
+        # maps are constant in ns - so write them at the S-block
+        # containing p, where the stale window rows are already in VMEM.
+        @pl.when(ns == p // s_blk)
+        def _(r=r, p=p, kn=kn, vn=vn,
+              kq=kq if quantized else None, vq=vq if quantized else None,
+              ksc=ksc if quantized else None,
+              vsc=vsc if quantized else None):
+            # The stale window rows are already in VMEM inside this
+            # s-block: a dynamic SUBLANE slice (8-aligned) reads them
+            # directly (probe-verified on v5e; a one-hot 3D dot_general
+            # gather does NOT lower - Mosaic dots are 2D-only).
+            w0 = pl.multiple_of((p % s_blk) // _APPEND_WIN * _APPEND_WIN,
+                                _APPEND_WIN)
+            wk0 = k_ref[0, r, :, pl.ds(w0, _APPEND_WIN), :]  # (kv, WIN, D)
+            wv0 = v_ref[0, r, :, pl.ds(w0, _APPEND_WIN), :]
+            if quantized:
+                k_store = kq.astype(jnp.float32)         # (kv, 1, D)
+                v_store = vq.astype(jnp.float32)
+            else:
+                k_store = kn.astype(jnp.float32)
+                v_store = vn.astype(jnp.float32)
+            rw = p % _APPEND_WIN
+            roww = lax.broadcasted_iota(jnp.int32, (_APPEND_WIN, 1), 0)
+            wmask = (roww == rw)[None]                   # (1, WIN, 1)
+            wk_ref[0, r] = jnp.where(
+                wmask, k_store, wk0.astype(jnp.float32)).astype(wk_ref.dtype)
+            wv_ref[0, r] = jnp.where(
+                wmask, v_store, wv0.astype(jnp.float32)).astype(wv_ref.dtype)
+            if quantized:
+                colv = (lax.broadcasted_iota(jnp.int32, (kv, s_blk), 1)
+                        + ns * s_blk)
+                smask = colv == p
+                sk_ref[0, r] = jnp.where(
+                    smask, jnp.broadcast_to(ksc, (kv, s_blk)),
+                    ks_ref[0, r].astype(jnp.float32)).astype(sk_ref.dtype)
+                sv_ref[0, r] = jnp.where(
+                    smask, jnp.broadcast_to(vsc, (kv, s_blk)),
+                    vs_ref[0, r].astype(jnp.float32)).astype(sv_ref.dtype)
 
     @pl.when(ns == n_s - 1)
     def _():
-        out = acc_ref[...] / l_ref[:, :1]
-        o_ref[0] = out.reshape(kv, groups, D_).astype(o_ref.dtype)
+        for r in range(fold):
+            sl = slice(r * rows, (r + 1) * rows)
+            out = acc_ref[sl] / l_ref[sl, :1]
+            o_ref[r] = out.reshape(kv, groups, D_).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_s",
@@ -675,6 +689,13 @@ def fused_decode_append_pallas(q, k_new, v_new, cache_k, cache_v, pos,
     s_blk = min(block_s, S)
     assert S % s_blk == 0 and s_blk % _APPEND_WIN == 0
     n_s = S // s_blk
+    # Fold multiple batch rows into one program when positions are
+    # UNIFORM (scalar pos - the append-window block index must be shared
+    # by every row of a program). Fewer programs = less launch/pipeline-
+    # setup overhead, the measured gap to the KV-stream bound.
+    fold = FLASH_FOLD if jnp.ndim(pos) == 0 else 1
+    while fold > 1 and B % fold:
+        fold //= 2
     q4 = q.reshape(B, KV, G, D)
     k_new = k_new.reshape(B, KV, 1, D)
     v_new = v_new.reshape(B, KV, 1, D)
@@ -684,23 +705,23 @@ def fused_decode_append_pallas(q, k_new, v_new, cache_k, cache_v, pos,
     def cache_map(b, c, ns, p, l):
         return (l[0], b, c, ns, 0)
 
-    def win_map(b, c, ns, p, l):
-        return (l[0], b, c, p[b] // _APPEND_WIN, 0)
+    def win_map(b, c, ns, p, l, _f=fold):
+        return (l[0], b, c, p[b * _f] // _APPEND_WIN, 0)
 
-    def sblk_map(b, c, ns, p, l, _sb=s_blk):
+    def sblk_map(b, c, ns, p, l, _sb=s_blk, _f=fold):
         # Index units are BLOCK counts: the p-block index divides by s_blk.
-        return (l[0], b, c, p[b] // _sb)
+        return (l[0], b, c, p[b * _f] // _sb)
 
     q_map = lambda b, c, ns, p, l: (b, c, 0, 0)  # noqa: E731
-    new_spec = pl.BlockSpec((1, kvc, 1, D),
+    new_spec = pl.BlockSpec((fold, kvc, 1, D),
                             lambda b, c, ns, p, l: (b, c, 0, 0),
                             memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, kvc, G, D), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((fold, kvc, G, D), q_map, memory_space=pltpu.VMEM),
         new_spec, new_spec,
-        pl.BlockSpec((1, 1, kvc, s_blk, D), cache_map,
+        pl.BlockSpec((1, fold, kvc, s_blk, D), cache_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, kvc, s_blk, D), cache_map,
+        pl.BlockSpec((1, fold, kvc, s_blk, D), cache_map,
                      memory_space=pltpu.VMEM),
     ]
     args = [pos, layer, q4, k_new, v_new, cache_k, cache_v]
@@ -713,16 +734,16 @@ def fused_decode_append_pallas(q, k_new, v_new, cache_k, cache_v, pos,
                                      memory_space=pltpu.VMEM))
         args.append(slopes2)
     if has_scales:
-        sspec = pl.BlockSpec((1, 1, kvc, s_blk),
+        sspec = pl.BlockSpec((1, fold, kvc, s_blk),
                              lambda b, c, ns, p, l: (l[0], b, c, ns),
                              memory_space=pltpu.VMEM)
         in_specs += [sspec, sspec]
         args += [k_scale, v_scale]
 
-    win_spec = pl.BlockSpec((1, 1, kvc, _APPEND_WIN, D), win_map,
+    win_spec = pl.BlockSpec((1, fold, kvc, _APPEND_WIN, D), win_map,
                             memory_space=pltpu.VMEM)
     out_specs = [
-        pl.BlockSpec((1, kvc, G, D), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((fold, kvc, G, D), q_map, memory_space=pltpu.VMEM),
         win_spec, win_spec,
     ]
     out_shape = [
@@ -733,7 +754,7 @@ def fused_decode_append_pallas(q, k_new, v_new, cache_k, cache_v, pos,
     # args: [pos, layer, q, kn, vn, ck, cv, (slopes), (ks, vs)]
     aliases = {5: 1, 6: 2}
     if has_scales:
-        sout = pl.BlockSpec((1, 1, kvc, s_blk), sblk_map,
+        sout = pl.BlockSpec((1, fold, kvc, s_blk), sblk_map,
                             memory_space=pltpu.VMEM)
         out_specs += [sout, sout]
         out_shape += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
@@ -759,17 +780,18 @@ def fused_decode_append_pallas(q, k_new, v_new, cache_k, cache_v, pos,
             scratch = outs[3:]
         _fused_decode_kernel(pr, lr, qr, knr, vnr, kr, vr, slopes, ks, vs,
                              o, wk, wv, sk, sv, *scratch,
-                             scale=scale, kv=kvc, groups=G, s_blk=s_blk)
+                             scale=scale, kv=kvc, groups=G, s_blk=s_blk,
+                             fold=fold)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, n_c, n_s),
+        grid=(B // fold, n_c, n_s),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((rows, D), jnp.float32),    # acc
-            pltpu.VMEM((rows, 128), jnp.float32),  # running max
-            pltpu.VMEM((rows, 128), jnp.float32),  # running denom
+            pltpu.VMEM((fold * rows, D), jnp.float32),    # acc
+            pltpu.VMEM((fold * rows, 128), jnp.float32),  # running max
+            pltpu.VMEM((fold * rows, 128), jnp.float32),  # running denom
         ],
     )
     res = pl.pallas_call(
@@ -789,6 +811,13 @@ def fused_decode_append_pallas(q, k_new, v_new, cache_k, cache_v, pos,
 # layer instead of append + flash; see _fused_decode_kernel). A/B knob
 # BENCH_ATTN=split restores the two-kernel path.
 FLASH_FUSED_APPEND = True
+
+# Batch rows folded per fused-decode program when positions are uniform
+# (scalar pos). 1 = one program per row (default); 2/4 halve/quarter the
+# per-layer program count. Full fold (bfold) measured -7% because one
+# program cannot overlap its own DMA with compute; small folds keep
+# cross-program pipelining. A/B knob BENCH_ATTN_FOLD.
+FLASH_FOLD = 1
 
 # KV heads folded per flash-decode program; None = fold ALL heads into
 # one dot per (batch, s-block) program. Folding inflates the logits

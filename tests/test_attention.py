@@ -434,6 +434,54 @@ def test_fused_decode_append_matches_oracle(G, alibi, quant, block_s):
                                    rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("fold", [2, 4])
+@pytest.mark.parametrize("quant", [False, True])
+def test_fused_decode_append_fold_matches_unfolded(fold, quant):
+    """Batch-folded fused decode (FLASH_FOLD > 1, uniform scalar pos)
+    equals the per-row kernel and the XLA oracle on output + all cache
+    planes; ragged (vector) pos must ignore the fold knob."""
+    import sleekit_tpu.ops.attention as at
+
+    ck, cv, kn, vn, q, _ = _setup(G=2)
+    layer = jnp.int32(1)
+    pos = jnp.int32(17)  # scalar: uniform positions, fold eligible
+    scale = 1.0 / np.sqrt(ck.shape[-1])
+    ks = vs = None
+    if quant:
+        rng = np.random.RandomState(5)
+        ck = jnp.asarray(rng.randint(-127, 128, ck.shape), jnp.int8)
+        cv = jnp.asarray(rng.randint(-127, 128, cv.shape), jnp.int8)
+        ks = jnp.asarray(0.01 + rng.rand(*ck.shape[:-1]).astype(np.float32))
+        vs = jnp.asarray(0.01 + rng.rand(*cv.shape[:-1]).astype(np.float32))
+    from sleekit_tpu.ops.attention import fused_decode_append_pallas
+
+    base = fused_decode_append_pallas(q, kn, vn, ck, cv, pos, layer, scale,
+                                      k_scale=ks, v_scale=vs,
+                                      block_s=16, interpret=True)
+    old = at.FLASH_FOLD
+    at.FLASH_FOLD = fold
+    try:
+        got = fused_decode_append_pallas(q, kn, vn, ck, cv, pos, layer,
+                                         scale, k_scale=ks, v_scale=vs,
+                                         block_s=16, interpret=True)
+        # Ragged positions: the fold knob must be ignored (per-row append
+        # windows cannot share a block index) and results stay exact.
+        posv = jnp.full((q.shape[0],), 17, jnp.int32)
+        ragged = fused_decode_append_pallas(q, kn, vn, ck, cv, posv, layer,
+                                            scale, k_scale=ks, v_scale=vs,
+                                            block_s=16, interpret=True)
+    finally:
+        at.FLASH_FOLD = old
+    for a, b in zip(base, got):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-6, atol=1e-6)
+    for a, b in zip(base, ragged):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("quant", [False, True])
 def test_fused_decode_append_edge_positions(quant):
     """p = 0 (cache stream fully masked, token-only attention) and
