@@ -655,13 +655,15 @@ def _fused_decode_kernel(pos_ref, layer_ref, q_ref, kn_ref, vn_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_s",
-                                             "kv_chunk", "interpret"))
+                                             "kv_chunk", "fold",
+                                             "interpret"))
 def fused_decode_append_pallas(q, k_new, v_new, cache_k, cache_v, pos,
                                layer, scale: float,
                                alibi_slopes: Optional[jnp.ndarray] = None,
                                k_scale=None, v_scale=None,
                                block_s: int = 256,
                                kv_chunk: Optional[int] = None,
+                               fold: Optional[int] = None,
                                interpret: bool = False):
     """One-kernel decode step: appends k_new/v_new (B, KV, D) into the
     (L, B, KV, S, D) cache at ``pos`` of layer ``layer`` IN PLACE and
@@ -692,8 +694,13 @@ def fused_decode_append_pallas(q, k_new, v_new, cache_k, cache_v, pos,
     # Fold multiple batch rows into one program when positions are
     # UNIFORM (scalar pos - the append-window block index must be shared
     # by every row of a program). Fewer programs = less launch/pipeline-
-    # setup overhead, the measured gap to the KV-stream bound.
-    fold = FLASH_FOLD if jnp.ndim(pos) == 0 else 1
+    # setup overhead, the measured gap to the KV-stream bound. ``fold``
+    # is jit-STATIC (an explicit argument beats the module global: a
+    # runtime change of FLASH_FOLD after the first trace would be
+    # silently swallowed by the jit cache - round-4 advisor finding).
+    if fold is None:
+        fold = FLASH_FOLD
+    fold = fold if jnp.ndim(pos) == 0 else 1
     while fold > 1 and B % fold:
         fold //= 2
     q4 = q.reshape(B, KV, G, D)

@@ -329,6 +329,17 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
             if p3m == 2:
                 p3_c += p4 + _lo_planes(wlo) + _hi_planes(whi)
                 p3_x += [xb4, xb3, xb3 + xb3]
+            elif p3m == 1:
+                # Merged single dot per tile: [p4; c_lo; c_hi] as one
+                # (256+256+256, BN) operand against [xb4 | xb3 | 2xb3] -
+                # one MXU accumulation chain per tile (mirrors the pair3
+                # p3m=1 arm; round-4 advisor finding - p3m=1 previously
+                # aliased the p3m=0 schedule on pair3x layouts).
+                c = jnp.concatenate(p4 + _lo_planes(wlo) + _hi_planes(whi),
+                                    axis=0)
+                x2 = jnp.concatenate([xb4, xb3, xb3 + xb3], axis=1)
+                acc_ref[:] += jnp.dot(x2, c,
+                                      preferred_element_type=jnp.float32)
             else:
                 c4 = jnp.concatenate(p4, axis=0)           # (256, BN)
                 acc_ref[:] += jnp.dot(xb4, c4,
@@ -421,7 +432,8 @@ def _round_up(x: int, m: int) -> int:
 # but the FULL fused decode regressed 3.06 -> 3.52 ms/step with them -
 # microbenchmark wins do not transfer across back-to-back kernel
 # launches here. Tuning decisions are taken on the full bench
-# (BENCH_PAIR_TUNE=kb<K>s<0|1>d<0|1>[bn<N>] env A/B in bench.py).
+# (BENCH_PAIR_TUNE=kb<K>s<0|1>d<0|1>[bn<N>][m<M>] env A/B in bench.py;
+# the m<M> suffix sets p3m).
 # p3m: pair3/pair3x dot scheduling - 0 = per-tile dots (lo-dot/hi-unpack
 # interleave), 1 = one merged dot per tile, 2 = ONE merged dot per grid
 # step. 2 is the default: one MXU accumulation chain per K step measured

@@ -440,8 +440,6 @@ def test_fused_decode_append_fold_matches_unfolded(fold, quant):
     """Batch-folded fused decode (FLASH_FOLD > 1, uniform scalar pos)
     equals the per-row kernel and the XLA oracle on output + all cache
     planes; ragged (vector) pos must ignore the fold knob."""
-    import sleekit_tpu.ops.attention as at
-
     ck, cv, kn, vn, q, _ = _setup(G=2)
     layer = jnp.int32(1)
     pos = jnp.int32(17)  # scalar: uniform positions, fold eligible
@@ -457,21 +455,21 @@ def test_fused_decode_append_fold_matches_unfolded(fold, quant):
 
     base = fused_decode_append_pallas(q, kn, vn, ck, cv, pos, layer, scale,
                                       k_scale=ks, v_scale=vs,
-                                      block_s=16, interpret=True)
-    old = at.FLASH_FOLD
-    at.FLASH_FOLD = fold
-    try:
-        got = fused_decode_append_pallas(q, kn, vn, ck, cv, pos, layer,
-                                         scale, k_scale=ks, v_scale=vs,
-                                         block_s=16, interpret=True)
-        # Ragged positions: the fold knob must be ignored (per-row append
-        # windows cannot share a block index) and results stay exact.
-        posv = jnp.full((q.shape[0],), 17, jnp.int32)
-        ragged = fused_decode_append_pallas(q, kn, vn, ck, cv, posv, layer,
-                                            scale, k_scale=ks, v_scale=vs,
-                                            block_s=16, interpret=True)
-    finally:
-        at.FLASH_FOLD = old
+                                      block_s=16, fold=1, interpret=True)
+    # ``fold`` is an explicit jit-STATIC argument: passing it guarantees
+    # a fresh trace actually exercises the folded kernel (a module-global
+    # override with identical avals would hit the fold=1 jit cache entry
+    # and the test would be vacuous - round-4 advisor finding).
+    got = fused_decode_append_pallas(q, kn, vn, ck, cv, pos, layer,
+                                     scale, k_scale=ks, v_scale=vs,
+                                     block_s=16, fold=fold, interpret=True)
+    # Ragged positions: the fold knob must be ignored (per-row append
+    # windows cannot share a block index) and results stay exact.
+    posv = jnp.full((q.shape[0],), 17, jnp.int32)
+    ragged = fused_decode_append_pallas(q, kn, vn, ck, cv, posv, layer,
+                                        scale, k_scale=ks, v_scale=vs,
+                                        block_s=16, fold=fold,
+                                        interpret=True)
     for a, b in zip(base, got):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),

@@ -474,7 +474,7 @@ def test_pair3x_kernel_matches_xla():
         nbits=3, affine=affine_from_lut(lut), layout="pair3x")
     x = jnp.asarray(rng.randn(4, K).astype(np.float32)).astype(jnp.bfloat16)
     oracle = np.asarray(dequant_matmul_xla(x, w), np.float32)
-    for p3m in (0, 2):
+    for p3m in (0, 1, 2):
         old = dict(dq.PAIR_TUNE)
         dq.PAIR_TUNE["p3m"] = p3m
         try:
