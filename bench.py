@@ -1,14 +1,18 @@
 """Headline benchmark: weight-only-quantized decode throughput per chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line PER CONFIG (first line = the int4 headline):
   {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
 
-``value`` is int4 packed-weight decode tokens/s on this chip for the
-flagship geometry (OPT-1.3B by default) using the fused multi-token decode
-loop (one device program per K tokens); ``vs_baseline`` is the speedup
-over a bf16 dense decode of the same model on the same chip (the
-reference publishes no throughput numbers - BASELINE.md - so the dense
-model IS the baseline the quantized path must beat).
+``value`` is packed-weight decode tokens/s on this chip for the flagship
+geometry (OPT-1.3B by default) using the fused multi-token decode loop
+(one device program per K tokens); ``vs_baseline`` is the speedup over a
+bf16 dense decode of the same model on the same chip (the reference
+publishes no throughput numbers - BASELINE.md - so the dense model IS
+the baseline the quantized path must beat). Default config sweep (the
+round-4 verdict asks the driver to capture the int3/nf4/paged headlines,
+not just int4): int4 (slot cache), int3 (pair3x mixed layout), nf4
+(table-LUT plane kernels), paged4 (int4 over the paged pool via the
+fused paged append+flash kernel). Override with BENCH_CONFIGS=int4,...
 
 Timing notes: on the axon TPU tunnel a host<->device round trip costs
 ~30ms and ``block_until_ready`` does not reliably wait for completion, so
@@ -16,7 +20,8 @@ throughput is measured by fetching a value (forced D2H) around a fused
 K-step loop and subtracting the measured round-trip overhead.
 
 Env knobs: BENCH_MODEL (zoo name), BENCH_BATCH, BENCH_STEPS, BENCH_NBITS,
-BENCH_CTX, BENCH_KV (bf16 | int8 - quantized KV cache for the packed path).
+BENCH_CTX, BENCH_KV (bf16 | int8 - quantized KV cache for the packed
+path), BENCH_CONFIGS, BENCH_PAGE (paged page size).
 """
 
 import json
@@ -53,12 +58,13 @@ def main():
     # default serving config: halves KV HBM traffic and doubles context
     # capacity at no measured argmax change (tests/test_attention.py).
     # fp8 (e4m3) compiles but converts in software on v5e - slow.
-    # int8b = int8 values + BF16 per-token scales: the f32 scale planes
-    # are 1/3 of the int8 KV stream (round-3 ctx-1024 analysis).
+    # Scale planes default to BF16 since round 5 (they are 1/3 of the
+    # f32-scaled int8 KV stream; round-3 ctx-1024 analysis); int8f = f32
+    # scale planes (A/B), int8b = explicit bf16 alias.
     kv_name = os.environ.get("BENCH_KV", "int8")
-    kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8,
+    kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8, "int8f": jnp.int8,
                 "int8b": jnp.int8, "fp8": jnp.float8_e4m3fn}[kv_name]
-    kv_scale_dtype = jnp.bfloat16 if kv_name == "int8b" else jnp.float32
+    kv_scale_dtype = jnp.float32 if kv_name == "int8f" else jnp.bfloat16
 
     # Full-context pair-kernel tuning A/B: BENCH_PAIR_TUNE=kb0s1d1 etc.
     # (microbench sweeps don't transfer; see ops/dequant_matmul.PAIR_TUNE).
@@ -104,7 +110,7 @@ def main():
     from sleekit_tpu.models.eval import decode_scan, decode_scan_sampled
     from sleekit_tpu.models.fake_quant import random_packed_params
     from sleekit_tpu.models.transformer import (
-        init_kv_cache, init_params, stack_layer_params)
+        init_kv_cache, init_paged_kv_cache, init_params, stack_layer_params)
     from sleekit_tpu.models.zoo import get_config
 
     # scan_layers compiles the layer stack once (vital: remote compiles of
@@ -114,16 +120,6 @@ def main():
         f"ctx={ctx} on {jax.devices()[0].platform}")
 
     key = jax.random.PRNGKey(0)
-    # BENCH_CODEBOOK=nf4: serve a TABLE codebook through the plane-layout
-    # LUT kernels (stacked layer_sel scalar prefetch) instead of the
-    # affine bf16-pair path - the non-uniform serving bench line.
-    if os.environ.get("BENCH_CODEBOOK") == "nf4":
-        from sleekit_tpu.codebooks import Codebook
-        codebook = Codebook.nf4()
-        os.environ.setdefault("BENCH_LAYOUT", "plane")
-        log("  codebook: nf4 (LUT plane serving path)")
-    else:
-        codebook = UniformCodebook(2 ** nbits, -1.0, 1.0)
 
     def sync(x):
         return float(jnp.sum(x.astype(jnp.float32)))
@@ -152,9 +148,26 @@ def main():
     else:
         scan_fn = decode_scan
 
-    def run_decode(params, tag, cache_dtype=jnp.bfloat16):
-        cache = init_kv_cache(cfg, batch, ctx, dtype=cache_dtype,
-                              scale_dtype=kv_scale_dtype)
+    page_size = int(os.environ.get("BENCH_PAGE", "128"))
+
+    def make_cache(cache_dtype, paged, scale_dtype):
+        if paged:
+            maxp = ctx // page_size
+            c = init_paged_kv_cache(cfg, batch * maxp + 1, page_size,
+                                    batch, maxp, cache_dtype,
+                                    scale_dtype=scale_dtype)
+            # Slot i owns pages [1 + i*maxp, ...); page 0 stays the trash
+            # page (engine layout). Physical order deliberately strided.
+            table = 1 + np.arange(batch * maxp).reshape(batch, maxp)
+            c["page_table"] = jnp.asarray(table, jnp.int32)
+            return c
+        return init_kv_cache(cfg, batch, ctx, dtype=cache_dtype,
+                             scale_dtype=scale_dtype)
+
+    def run_decode(params, tag, cache_dtype=jnp.bfloat16, paged=False,
+                   scale_dtype=None):
+        scale_dtype = scale_dtype or kv_scale_dtype
+        cache = make_cache(cache_dtype, paged, scale_dtype)
         t0 = time.time()
         toks, cache, last, pos = scan_fn(cfg, params, cache, first,
                                          jnp.int32(0), steps)
@@ -162,8 +175,7 @@ def main():
         log(f"  {tag}: compile+first loop {time.time() - t0:.1f}s")
         best = float("inf")
         for _ in range(3):
-            cache = init_kv_cache(cfg, batch, ctx, dtype=cache_dtype,
-                                  scale_dtype=kv_scale_dtype)
+            cache = make_cache(cache_dtype, paged, scale_dtype)
             t0 = time.time()
             toks, cache, last, pos = scan_fn(cfg, params, cache, first,
                                              jnp.int32(0), steps)
@@ -177,43 +189,88 @@ def main():
     # int8-packed unembed head on top of the int-N packed linears.
     from sleekit_tpu.models.quantize import pack_lm_head
 
-    # pair3x = the 3-bit mixed layout (matches int4 tok/s at 0.875x its
-    # bytes); BENCH_LAYOUT=pair3 benches the memory-optimal split-plane
-    # layout (0.75x int4 bytes, ~-2.5%). 'pair' for every other width.
-    layout = os.environ.get("BENCH_LAYOUT",
-                            "pair3x" if nbits == 3 else "pair")
-    qparams, _ = random_packed_params(cfg, key, codebook, fuse_qkv=True,
-                                      layout=layout)
-    qparams = pack_lm_head(cfg, qparams, nbits=8)
-    packed_bytes = sum(x.size * x.dtype.itemsize
-                       for x in jax.tree.leaves(qparams))
-    quant_tok_s = run_decode(qparams, f"int{nbits} packed", cache_dtype=kv_dtype)
-    del qparams
+    # ---- config sweep -----------------------------------------------------
+    # Named configs: int4 = the headline; int3 = pair3x mixed layout (the
+    # 3-bit-beats-int4 claim, now driver-captured); int3p = memory-optimal
+    # pair3; nf4 = table-codebook LUT serving; paged4 = int4 over the
+    # paged pool (fused paged append+flash kernel). Legacy single-config
+    # A/B knobs (BENCH_NBITS / BENCH_CODEBOOK / BENCH_LAYOUT /
+    # BENCH_PAGED) override the sweep when any of them is set.
+    named = {
+        "int4": dict(nbits=4, layout="pair", nf4=False, paged=False),
+        "int3": dict(nbits=3, layout="pair3x", nf4=False, paged=False),
+        "int3p": dict(nbits=3, layout="pair3", nf4=False, paged=False),
+        "nf4": dict(nbits=4, layout="plane", nf4=True, paged=False),
+        "paged4": dict(nbits=4, layout="pair", nf4=False, paged=True),
+        # f32-scale-plane A/B twin of int4 (scale planes default bf16).
+        "int4f": dict(nbits=4, layout="pair", nf4=False, paged=False,
+                      scale_dtype=jnp.float32),
+    }
+    legacy = (os.environ.get("BENCH_NBITS") or os.environ.get("BENCH_CODEBOOK")
+              or os.environ.get("BENCH_LAYOUT") or os.environ.get("BENCH_PAGED"))
+    if legacy:
+        name = (f"custom-int{nbits}"
+                if os.environ.get("BENCH_CODEBOOK") != "nf4" else "nf4")
+        run_cfgs = [(name, dict(
+            nbits=nbits,
+            layout=os.environ.get("BENCH_LAYOUT",
+                                  "pair3x" if nbits == 3 else "pair"),
+            nf4=os.environ.get("BENCH_CODEBOOK") == "nf4",
+            paged=os.environ.get("BENCH_PAGED", "0") == "1"))]
+    else:
+        sel = os.environ.get("BENCH_CONFIGS", "int4,int3,nf4,paged4")
+        run_cfgs = [(n, named[n]) for n in sel.split(",") if n]
 
-    # Dense bf16 baseline. BENCH_DENSE=0 skips it (8B-class models do not
-    # fit one 16 GB chip in bf16 - the whole point of the packed path);
-    # vs_baseline then reports the packed/dense HBM byte ratio instead.
+    # Dense bf16 baseline (measured once). BENCH_DENSE=0 skips it
+    # (8B-class models do not fit one 16 GB chip in bf16 - the whole
+    # point of the packed path); vs_baseline then reports the
+    # packed/dense HBM byte ratio instead.
+    dense_tok_s = None
     if os.environ.get("BENCH_DENSE", "1") != "0":
         dparams = init_params(cfg, key)
         if cfg.scan_layers:
             dparams = stack_layer_params(dparams)
         dense_tok_s = run_decode(dparams, "bf16 dense")
-        vs = round(quant_tok_s / dense_tok_s, 4)
+        del dparams
     else:
         log("  bf16 dense baseline skipped (BENCH_DENSE=0)")
         dense_shapes = jax.eval_shape(lambda k: init_params(cfg, k), key)
         dense_bytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize
                           for s in jax.tree.leaves(dense_shapes))
-        vs = round(dense_bytes / packed_bytes, 4)
-        log(f"  packed/dense HBM byte ratio: {vs}")
 
-    result = {
-        "metric": f"decode_tokens_per_sec_per_chip_int{nbits}_{model_name}",
-        "value": round(quant_tok_s, 2),
-        "unit": "tokens/s",
-        "vs_baseline": vs,
-    }
-    print(json.dumps(result))
+    results = []
+    for name, c in run_cfgs:
+        if c["nf4"]:
+            from sleekit_tpu.codebooks import Codebook
+            codebook = Codebook.nf4()
+        else:
+            codebook = UniformCodebook(2 ** c["nbits"], -1.0, 1.0)
+        qparams, _ = random_packed_params(cfg, key, codebook,
+                                          fuse_qkv=True, layout=c["layout"])
+        qparams = pack_lm_head(cfg, qparams, nbits=8)
+        packed_bytes = sum(x.size * x.dtype.itemsize
+                           for x in jax.tree.leaves(qparams))
+        tag = (f"{name} [{c['layout']}"
+               + (", paged" if c["paged"] else "") + "]")
+        tok_s = run_decode(qparams, tag, cache_dtype=kv_dtype,
+                           paged=c["paged"],
+                           scale_dtype=c.get("scale_dtype"))
+        del qparams
+        vs = (round(tok_s / dense_tok_s, 4) if dense_tok_s
+              else round(dense_bytes / packed_bytes, 4))
+        metric = name if not name.startswith("custom-") else name[7:]
+        metric = {"paged4": "int4_paged", "int3p": "int3_pair3"}.get(
+            metric, metric)
+        results.append({
+            "metric": (f"decode_tokens_per_sec_per_chip_{metric}"
+                       f"_{model_name}"),
+            "value": round(tok_s, 2),
+            "unit": "tokens/s",
+            "vs_baseline": vs,
+        })
+
+    for r in results:
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":

@@ -726,7 +726,7 @@ def calibrate_step(cfg: TransformerConfig, params, tokens,
 
 
 def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
-                  dtype=jnp.float32, scale_dtype=jnp.float32):
+                  dtype=jnp.float32, scale_dtype=None):
     """KV cache in (batch, kv_heads, seq, head_dim) layout (the decode
     kernels' layout, ops/attention.py); scan_layers stacks a leading
     layer axis so the decode scan carries ONE buffer per k/v.
@@ -734,12 +734,16 @@ def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
     ``dtype=jnp.int8`` selects the quantized cache: int8 values plus
     per-(token, head) scales (halved HBM traffic and 2x context
     capacity; quantization happens inside the append kernels).
-    ``scale_dtype=jnp.bfloat16`` halves the scale planes too - they are
-    1/3 of the int8 KV stream (round-3 journal); scales are computed in
-    f32 and rounded on store, adding <=2^-9 relative error on top of
-    int8's 2^-8."""
+    ``scale_dtype`` defaults to BF16 for the int8 cache (the SERVING
+    default since round 5): the scale planes are 1/3 of the int8 KV
+    stream (round-3 journal; +2.5% tokens/s at ctx 1024) and scales are
+    computed in f32 and rounded on store, adding <=2^-9 relative error
+    on top of int8's 2^-8. Pass ``jnp.float32`` explicitly for exact
+    f32 planes (A/B, parity oracles)."""
     shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
     quant = dtype == jnp.int8
+    if scale_dtype is None:
+        scale_dtype = jnp.bfloat16 if quant else jnp.float32
     if cfg.scan_layers:
         out = {"k": jnp.zeros((cfg.n_layers, *shape), dtype),
                "v": jnp.zeros((cfg.n_layers, *shape), dtype)}
@@ -839,11 +843,14 @@ def _run_layers_decode(cfg, params, x, positions, cache, pos):
 
 def init_paged_kv_cache(cfg: TransformerConfig, total_pages: int,
                         page_size: int, slots: int, max_pages_per_seq: int,
-                        dtype=jnp.float32, scale_dtype=jnp.float32):
+                        dtype=jnp.float32, scale_dtype=None):
     """Paged KV cache: a shared page pool (L, P, KV, PS, D) plus a page
     table (slots, max_pages_per_seq) int32 (ops/paged_attention.py).
-    ``dtype=jnp.int8`` adds per-token scale planes. Unallocated table
-    entries hold page 0 (a valid address; their columns are masked)."""
+    ``dtype=jnp.int8`` adds per-token scale planes (BF16 by default,
+    like init_kv_cache). Unallocated table entries hold page 0 (a valid
+    address; their columns are masked)."""
+    if scale_dtype is None:
+        scale_dtype = jnp.bfloat16 if dtype == jnp.int8 else jnp.float32
     pool = (cfg.n_layers, total_pages, cfg.kv_heads, page_size,
             cfg.head_dim)
     out = {"k": jnp.zeros(pool, dtype), "v": jnp.zeros(pool, dtype),

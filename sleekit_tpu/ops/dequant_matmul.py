@@ -94,6 +94,21 @@ def _kernel(*refs, nbits, vpw, ksize, affine, compute_dtype, kb_t=1,
         if affine is not None:
             step, zero = affine
             wv = (idx.astype(jnp.float32) * step + zero).astype(compute_dtype)
+        elif ksize >= 4 and ksize & (ksize - 1) == 0:
+            # Binary select (mux) tree on the index bits: level l keeps
+            # the candidates whose low l+1 bits match, so k-1 selects +
+            # log2(k) bit tests replace the k compare+select chain (the
+            # k=16 NF4 case: 15+4 VPU ops/element vs 32 - round-4
+            # verdict ask 6). Works for ANY lut order (it muxes on idx
+            # bits, not value order).
+            cur = [lut_ref[0, j] for j in range(ksize)]
+            level = 0
+            while len(cur) > 1:
+                b = (idx & (1 << level)) > 0
+                cur = [jnp.where(b, cur[2 * j + 1], cur[2 * j])
+                       for j in range(len(cur) // 2)]
+                level += 1
+            wv = cur[0].astype(compute_dtype)
         else:
             wv = jnp.zeros(idx.shape, jnp.float32)
             for j in range(ksize):

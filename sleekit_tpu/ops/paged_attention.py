@@ -36,6 +36,7 @@ from sleekit_tpu.ops.attention import (
     _append_kernel,
     _append_q_kernel,
     _decode_kernel,
+    _fused_decode_kernel,
     _quant_rows,
 )
 
@@ -210,6 +211,153 @@ def paged_flash_decode_pallas(q, pool_k, pool_v, page_table, pos, layer,
     return out.reshape(B, H, D)
 
 
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_fused_decode_append_pallas(q, k_new, v_new, pool_k, pool_v,
+                                     page_table, pos, layer, scale: float,
+                                     alibi_slopes: Optional[jnp.ndarray] = None,
+                                     k_scale=None, v_scale=None,
+                                     interpret: bool = False):
+    """One-kernel paged decode step: appends k_new/v_new (B, KV, D) into
+    the page pool (L, P, KV, PS, D) at logical position ``pos`` of layer
+    ``layer`` IN PLACE and returns the masked flash attention over the
+    full post-append sequence.
+
+    The paged analogue of ops.attention.fused_decode_append_pallas
+    (round-4 verdict ask #1): replaces the append->flash kernel pair with
+    one launch per (row, logical page). The grid's page axis plays the
+    S-block role of the slot kernel - the BlockSpec index maps deref the
+    page table at DMA-address time (physical page = table[b, j]), the
+    streamed pool is masked STRICTLY below ``pos`` (row pos is stale
+    pre-append), the new token's contribution comes from VMEM at page 0,
+    and the token is persisted through two small aliased side outputs:
+    the 8-row append window of the page holding pos and (int8 pools) that
+    page's scale-plane block. Per-step traffic beyond the KV stream is
+    O(token bytes) - the old pair re-read the window AND serialized two
+    launches per layer.
+
+    Returns ``(out, pool_k, pool_v)`` plus ``(k_scale, v_scale)`` for
+    int8 pools.
+    """
+    L, PG, KV, PS, D = pool_k.shape
+    B, H, Dq = q.shape
+    assert Dq == D and H % KV == 0
+    assert PS % _APPEND_WIN == 0
+    G = H // KV
+    rows = KV * G
+    MAXP = page_table.shape[1]
+    q4 = q.reshape(B, KV, G, D)
+    k_new = k_new.reshape(B, KV, 1, D)
+    v_new = v_new.reshape(B, KV, 1, D)
+    pos = jnp.clip(jnp.broadcast_to(pos, (B,)).astype(jnp.int32),
+                   0, MAXP * PS - 1)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    pt = page_table.astype(jnp.int32)
+
+    def cache_map(b, c, j, p, t, l):
+        return (l[0], t[b, j], 0, 0, 0)
+
+    def win_map(b, c, j, p, t, l):
+        pp = p[b]
+        return (l[0], t[b, pp // PS], 0, (pp % PS) // _APPEND_WIN, 0)
+
+    def spage_map(b, c, j, p, t, l):
+        return (l[0], t[b, p[b] // PS], 0, 0)
+
+    q_map = lambda b, c, j, p, t, l: (b, 0, 0, 0)  # noqa: E731
+    new_spec = pl.BlockSpec((1, KV, 1, D), q_map, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, KV, G, D), q_map, memory_space=pltpu.VMEM),
+        new_spec, new_spec,
+        pl.BlockSpec((1, 1, KV, PS, D), cache_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KV, PS, D), cache_map, memory_space=pltpu.VMEM),
+    ]
+    args = [pos, pt, layer, q4, k_new, v_new, pool_k, pool_v]
+    has_slopes = alibi_slopes is not None
+    has_scales = k_scale is not None
+    if has_slopes:
+        slopes2 = jnp.asarray(alibi_slopes, jnp.float32).reshape(rows, 1)
+        in_specs.append(pl.BlockSpec((rows, 1),
+                                     lambda b, c, j, p, t, l: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(slopes2)
+    if has_scales:
+        sspec = pl.BlockSpec((1, 1, KV, PS),
+                             lambda b, c, j, p, t, l: (l[0], t[b, j], 0, 0),
+                             memory_space=pltpu.VMEM)
+        in_specs += [sspec, sspec]
+        args += [k_scale, v_scale]
+
+    win_spec = pl.BlockSpec((1, 1, KV, _APPEND_WIN, D), win_map,
+                            memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, KV, G, D), q_map, memory_space=pltpu.VMEM),
+        win_spec, win_spec,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, KV, G, D), q.dtype),
+        jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+        jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+    ]
+    # args: [pos, pt, layer, q, kn, vn, pk, pv, (slopes), (ks, vs)]
+    aliases = {6: 1, 7: 2}
+    if has_scales:
+        sout = pl.BlockSpec((1, 1, KV, PS), spage_map,
+                            memory_space=pltpu.VMEM)
+        out_specs += [sout, sout]
+        out_shape += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+                      jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
+        si = 9 if has_slopes else 8
+        aliases[si] = 3
+        aliases[si + 1] = 4
+
+    def kernel(pr, ptr, lr, qr, knr, vnr, kr, vr, *rest):
+        del ptr  # page table consumed by the index maps
+        i = 0
+        slopes = rest[0] if has_slopes else None
+        i += int(has_slopes)
+        ks = rest[i] if has_scales else None
+        vs = rest[i + 1] if has_scales else None
+        i += 2 * int(has_scales)
+        outs = rest[i:]
+        if has_scales:
+            o, wk, wv, sk, sv = outs[:5]
+            scratch = outs[5:]
+        else:
+            o, wk, wv = outs[:3]
+            sk = sv = None
+            scratch = outs[3:]
+        # The grid's page axis (program_id(2)) is the kernel's S-block
+        # axis: global col_s = j * PS + local, exactly the slot kernel's
+        # ns * s_blk + local.
+        _fused_decode_kernel(pr, lr, qr, knr, vnr, kr, vr, slopes, ks, vs,
+                             o, wk, wv, sk, sv, *scratch,
+                             scale=scale, kv=KV, groups=G, s_blk=PS,
+                             fold=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,          # pos, page_table, layer
+        grid=(B, 1, MAXP),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((rows, D), jnp.float32),    # acc
+            pltpu.VMEM((rows, 128), jnp.float32),  # running max
+            pltpu.VMEM((rows, 128), jnp.float32),  # running denom
+        ],
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*args)
+    out = res[0].reshape(B, H, D)
+    if has_scales:
+        return out, res[1], res[2], res[3], res[4]
+    return out, res[1], res[2]
+
+
 # ---- XLA oracle ------------------------------------------------------------
 
 
@@ -273,11 +421,20 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_table,
                            use_pallas: Optional[bool] = None,
                            interpret: bool = False):
     """Paged analogue of ops.attention.decode_attention."""
+    import sleekit_tpu.ops.attention as _attn
+
     if scale is None:
         scale = 1.0 / math.sqrt(pool_k.shape[-1])
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     quantized = k_scale is not None
+    if (use_pallas or interpret) and _attn.FLASH_FUSED_APPEND:
+        # One launch per layer instead of append + flash (the same knob
+        # as the slot path: BENCH_ATTN=split restores the pair).
+        return paged_fused_decode_append_pallas(
+            q, k_new, v_new, pool_k, pool_v, page_table, pos, layer,
+            scale, alibi_slopes=alibi_slopes,
+            k_scale=k_scale, v_scale=v_scale, interpret=interpret)
     if use_pallas or interpret:
         updated = paged_kv_append_pallas(
             k_new, v_new, pool_k, pool_v, page_table, pos, layer,

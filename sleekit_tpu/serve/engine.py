@@ -147,18 +147,24 @@ class Engine:
         self.paged = paged
         self.mesh = mesh
         self._tp = mesh is not None and mesh.shape.get("model", 1) > 1
-        # Multi-PROCESS serving (the mesh spans OS processes/hosts): every
+        # Multi-PROCESS serving (the mesh SPANS OS processes/hosts): every
         # rank runs the engine's host loop in lockstep on identical
         # request state, so host->device inputs must be fully-replicated
         # GLOBAL arrays (see _g) and device->host fetches read the local
         # replica of replicated outputs. data must be 1: slots shard over
         # 'data', and a cross-process data axis would leave each rank
-        # unable to read the other ranks' sampled tokens.
-        self._multiproc = mesh is not None and jax.process_count() > 1
+        # unable to read the other ranks' sampled tokens - the DATA axis
+        # of a multi-process deployment runs one engine per replica via
+        # serve.router.ReplicaRouter (zero cross-replica communication).
+        # A mesh over only THIS process's devices (the router's per-host
+        # sub-mesh) is NOT multi-process even when jax.process_count()>1.
+        self._multiproc = mesh is not None and len(
+            {d.process_index for d in mesh.devices.flat}) > 1
         if self._multiproc:
             assert mesh.shape.get("data", 1) == 1, (
-                "multi-process Engine serves TP over the process boundary "
-                "with data=1; run one engine per data replica instead")
+                "a single multi-process Engine serves TP over the process "
+                "boundary with data=1; scale the data axis with "
+                "serve.router.ReplicaRouter (one engine per replica)")
             assert not paged, "paged pool not supported multi-process yet"
         if self._tp:
             assert max_slots % mesh.shape.get("data", 1) == 0

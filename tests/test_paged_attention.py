@@ -10,6 +10,7 @@ from sleekit_tpu.ops.paged_attention import (
     paged_decode_attention,
     paged_flash_decode_pallas,
     paged_flash_decode_xla,
+    paged_fused_decode_append_pallas,
     paged_kv_append_pallas,
     paged_kv_append_xla,
 )
@@ -75,6 +76,106 @@ def test_paged_flash_matches_oracle(quant, alibi):
                                    **extra)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("alibi", [False, True])
+def test_paged_fused_matches_oracle(quant, alibi):
+    """Fused append+flash over the page pool == XLA append -> XLA flash
+    on the output AND on every pool/scale plane (pages out of order)."""
+    pool_k, pool_v, pt, kn, vn, q, pos, extra = _setup(quant=quant, seed=3)
+    layer = jnp.int32(1)
+    if quant:
+        rng = np.random.RandomState(7)
+        pool_k = jnp.asarray(rng.randint(-127, 128, pool_k.shape), jnp.int8)
+        pool_v = jnp.asarray(rng.randint(-127, 128, pool_v.shape), jnp.int8)
+        extra = {
+            "k_scale": jnp.asarray(
+                0.01 + rng.rand(*pool_k.shape[:-1]).astype(np.float32)),
+            "v_scale": jnp.asarray(
+                0.01 + rng.rand(*pool_v.shape[:-1]).astype(np.float32))}
+    H = q.shape[1]
+    slopes = jnp.linspace(0.05, 0.7, H) if alibi else None
+    scale = 1.0 / np.sqrt(pool_k.shape[-1])
+
+    ref_pool = paged_kv_append_xla(kn, vn, pool_k, pool_v, pt, pos, layer,
+                                   **extra)
+    ref_extra = ({"k_scale": ref_pool[2], "v_scale": ref_pool[3]}
+                 if quant else {})
+    o_ref = paged_flash_decode_xla(q, ref_pool[0], ref_pool[1], pt, pos,
+                                   layer, scale, alibi_slopes=slopes,
+                                   **ref_extra)
+    res = paged_fused_decode_append_pallas(
+        q, kn, vn, pool_k, pool_v, pt, pos, layer, scale,
+        alibi_slopes=slopes, interpret=True, **extra)
+    # int8 pools produce O(100) outputs: rtol-dominated comparison.
+    np.testing.assert_allclose(np.asarray(res[0]), np.asarray(o_ref),
+                               rtol=5e-5, atol=1e-4)
+    for got, want in zip(res[1:], ref_pool):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_paged_fused_edge_positions(quant):
+    """pos = 0 (pool stream fully masked), page boundaries, and the last
+    slot of the last page all round-trip through the fused kernel."""
+    pool_k, pool_v, pt, kn, vn, q, _, extra = _setup(quant=quant, seed=11)
+    PS = pool_k.shape[3]
+    MAXP = pt.shape[1]
+    layer = jnp.int32(0)
+    if quant:
+        rng = np.random.RandomState(13)
+        extra = {
+            "k_scale": jnp.asarray(
+                0.01 + rng.rand(*pool_k.shape[:-1]).astype(np.float32)),
+            "v_scale": jnp.asarray(
+                0.01 + rng.rand(*pool_v.shape[:-1]).astype(np.float32))}
+    scale = 1.0 / np.sqrt(pool_k.shape[-1])
+    pos = jnp.asarray([0, PS - 1, MAXP * PS - 1], jnp.int32)
+
+    ref_pool = paged_kv_append_xla(kn, vn, pool_k, pool_v, pt, pos, layer,
+                                   **extra)
+    ref_extra = ({"k_scale": ref_pool[2], "v_scale": ref_pool[3]}
+                 if quant else {})
+    o_ref = paged_flash_decode_xla(q, ref_pool[0], ref_pool[1], pt, pos,
+                                   layer, scale, **ref_extra)
+    res = paged_fused_decode_append_pallas(
+        q, kn, vn, pool_k, pool_v, pt, pos, layer, scale,
+        interpret=True, **extra)
+    np.testing.assert_allclose(np.asarray(res[0]), np.asarray(o_ref),
+                               rtol=5e-5, atol=1e-4)
+    for got, want in zip(res[1:], ref_pool):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_paged_fused_scalar_pos_and_dispatch():
+    """Scalar (uniform) pos broadcasts; paged_decode_attention routes to
+    the fused kernel when FLASH_FUSED_APPEND is on and matches the
+    two-kernel pair."""
+    import sleekit_tpu.ops.attention as at
+
+    pool_k, pool_v, pt, kn, vn, q, _, _ = _setup(seed=21)
+    layer = jnp.int32(1)
+    pos = jnp.int32(19)
+    scale = 1.0 / np.sqrt(pool_k.shape[-1])
+    res = paged_fused_decode_append_pallas(
+        q, kn, vn, pool_k, pool_v, pt, pos, layer, scale, interpret=True)
+    ref_pool = paged_kv_append_xla(kn, vn, pool_k, pool_v, pt, pos, layer)
+    o_ref = paged_flash_decode_xla(q, *ref_pool, pt, pos, layer, scale)
+    np.testing.assert_allclose(np.asarray(res[0]), np.asarray(o_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    assert at.FLASH_FUSED_APPEND  # default on: dispatcher takes the fused path
+    res_d = paged_decode_attention(q, kn, vn, pool_k, pool_v, pt, pos,
+                                   layer, interpret=True)
+    for got, want in zip(res_d, res):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_paged_equals_contiguous():

@@ -181,6 +181,71 @@ def main() -> None:
           f"{acct['ici_bytes_per_step'] / 1e3:.1f} kB/step/device",
           flush=True)
 
+    # ---- phase 5: the DATA axis across processes (ReplicaRouter) ------
+    # The 2-host recipe made executable (round-4 VERDICT missing-item 2):
+    # data=2 (one replica per process) x model=2 (TP inside each
+    # process's local devices). Each rank instantiates ONLY its own
+    # replica's engine on a LOCAL sub-mesh; the deterministic round-robin
+    # admission needs no communication, and the decode program's
+    # collectives are the TP-only set - zero cross-process (DCN)
+    # collectives, asserted from the jaxpr and from device locality.
+    from sleekit_tpu.parallel.comm_model import count_collectives_in_jaxpr
+    from sleekit_tpu.parallel.mesh import (kv_cache_specs as _kvspecs,
+                                           param_specs as _pspecs,
+                                           shard_pytree as _shard)
+    from sleekit_tpu.parallel.tp_decode import tp_decode_step as _tpstep
+    from sleekit_tpu.serve.router import ReplicaRouter, local_replica_mesh
+
+    def mk_router_reqs():
+        rng = np.random.RandomState(11)
+        out = []
+        for i in range(5):
+            out.append(Request(
+                prompt=rng.randint(0, cfg.vocab_size,
+                                   (3 + 2 * i,)).astype(np.int32),
+                max_new_tokens=4 + (i % 3),
+                temperature=0.7 if i == 3 else 0.0))
+        return out
+
+    sub = local_replica_mesh(2)
+    assert {d.process_index for d in sub.devices.flat} == {args.proc_id}
+    router = ReplicaRouter(cfg, tp_params, [sub],
+                           replica_ids=[args.proc_id], n_replicas=args.procs,
+                           max_slots=2, max_seq_len=32, seed=0)
+    eng5 = router.engines[args.proc_id]
+    assert not eng5._multiproc, "local sub-mesh must not trip lockstep mode"
+    got5 = router.run(mk_router_reqs())
+    assert [c.request_id for c in got5] == list(
+        range(args.proc_id, 5, args.procs))
+
+    # Token-exact vs a plain single-process engine fed this replica's
+    # subset (same geometry + seed -> identical admission and PRNG).
+    oracle5 = Engine(cfg, qparams, max_slots=2, max_seq_len=32,
+                     seed=0).run(mk_router_reqs()[args.proc_id::args.procs])
+    for g, w in zip(got5, oracle5):
+        assert g.new_tokens.tolist() == w.new_tokens.tolist(), (
+            g.new_tokens, w.new_tokens)
+
+    # Zero per-step cross-process collectives: the replica's decode
+    # jaxpr carries exactly the TP set (2 psums/layer + 1 all-gather).
+    with sub:
+        tp_sh = _shard(tp_params, _pspecs(cfg, tp_params), sub)
+        c5 = init_kv_cache(cfg, 2, 32)
+        c5 = _shard(c5, _kvspecs(c5), sub)
+        traced = jax.make_jaxpr(
+            lambda p, t, c: _tpstep(cfg, p, t, c, jnp.int32(0), sub))(
+                tp_sh, jnp.zeros((2, 1), jnp.int32), c5)
+    got_c = count_collectives_in_jaxpr(traced)
+    n_psum = got_c.get("psum", 0) + got_c.get("psum2", 0)
+    assert n_psum == 2 * cfg.n_layers and got_c.get("all_gather", 0) == 1, \
+        got_c
+    assert not {k: v for k, v in got_c.items()
+                if k not in ("psum", "psum2", "all_gather")}, got_c
+    print(f"[rank {args.proc_id}] DATA-axis router OK "
+          f"(replica {args.proc_id}/{args.procs}, "
+          f"{sum(len(c.new_tokens) for c in got5)} tokens token-exact, "
+          f"TP-only collectives {got_c})", flush=True)
+
     print(f"[rank {args.proc_id}] MULTIPROCESS SMOKE OK", flush=True)
 
 

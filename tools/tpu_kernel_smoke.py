@@ -270,6 +270,48 @@ def main(argv=None) -> int:
                                           interpret=interpret)[0]
     record("paged_kv_append/bf16", run_paged_append)
 
+    # Fused append+flash over the page pool (one launch/layer): needs a
+    # well-formed table (distinct physical pages per row) because it
+    # WRITES the append window through the table deref.
+    sc = 1.0 / np.sqrt(D)
+    pool2_k = jnp.asarray(rng.randn(2, B * MAXP + 1, kv, PS, D)
+                          .astype(np.float32), jnp.bfloat16)
+    pool2_v = jnp.asarray(rng.randn(2, B * MAXP + 1, kv, PS, D)
+                          .astype(np.float32), jnp.bfloat16)
+    pt2 = jnp.asarray(1 + rng.permutation(B * MAXP).reshape(B, MAXP),
+                      jnp.int32)
+
+    def run_paged_fused():
+        return pat.paged_fused_decode_append_pallas(
+            qq, kn, kn, pool2_k, pool2_v, pt2, ppos, jnp.int32(1), sc,
+            interpret=interpret)[0]
+
+    def paged_fused_oracle():
+        u = pat.paged_kv_append_xla(kn, kn, pool2_k, pool2_v, pt2, ppos,
+                                    jnp.int32(1))
+        return pat.paged_flash_decode_xla(qq, u[0], u[1], pt2, ppos,
+                                          jnp.int32(1), sc)
+    record("paged_fused_decode_append/bf16", run_paged_fused,
+           check=paged_fused_oracle)
+
+    pool2_ki = jnp.asarray(rng.randint(-127, 128, pool2_k.shape), jnp.int8)
+    psc = jnp.asarray(0.01 + rng.rand(*pool2_k.shape[:-1])
+                      .astype(np.float32))
+
+    def run_paged_fused_q():
+        return pat.paged_fused_decode_append_pallas(
+            qq, kn, kn, pool2_ki, pool2_ki, pt2, ppos, jnp.int32(1), sc,
+            k_scale=psc, v_scale=psc, interpret=interpret)[0]
+
+    def paged_fused_oracle_q():
+        u = pat.paged_kv_append_xla(kn, kn, pool2_ki, pool2_ki, pt2, ppos,
+                                    jnp.int32(1), k_scale=psc, v_scale=psc)
+        return pat.paged_flash_decode_xla(qq, u[0], u[1], pt2, ppos,
+                                          jnp.int32(1), sc,
+                                          k_scale=u[2], v_scale=u[3])
+    record("paged_fused_decode_append/int8", run_paged_fused_q,
+           check=paged_fused_oracle_q)
+
     n_ok = sum(r["ok"] for r in results)
     summary = {"backend": backend, "cases": len(results), "ok": n_ok,
                "failed": [r["case"] for r in results if not r["ok"]],
