@@ -148,7 +148,12 @@ def main():
     else:
         scan_fn = decode_scan
 
-    page_size = int(os.environ.get("BENCH_PAGE", "128"))
+    # Paged page size: 256 = the throughput-parity configuration (99.3%
+    # of the slot engine measured at ctx 256; one fused program per page
+    # per row, same program count as the slot path). 128 = finer memory
+    # granularity at ~93% (one extra launch per layer per row); the
+    # ENGINE default stays 64 for maximal packing of mixed lengths.
+    page_size = int(os.environ.get("BENCH_PAGE", "256"))
 
     def make_cache(cache_dtype, paged, scale_dtype):
         if paged:

@@ -95,11 +95,50 @@ def main(argv=None):
                             codebook_kind=args.codebook,
                             grid_size=args.grid_size,
                             obq_refine=args.obq_refine)
+    def _hbm_limit():
+        # QUANT_HBM_LIMIT: test override to exercise the offload/drain
+        # branches on hardware without a >16 GB model.
+        env = os.environ.get("QUANT_HBM_LIMIT")
+        if env:
+            return float(env)
+        try:
+            return jax.local_devices()[0].memory_stats()["bytes_limit"]
+        except Exception:  # noqa: BLE001 - memory_stats is backend-optional
+            return 16e9
+
+    def _est_stats_bytes():
+        from sleekit_tpu.models.transformer import layer_names
+        d, ff = cfg.d_model, cfg.d_ff
+        dim_of = {"q": d, "k": d, "v": d, "o": d, "fc1": d, "fc2": ff,
+                  "gate": d, "up": d, "down": ff}
+        return sum(4.0 * (dim_of[n.split(".")[-1]] ** 2
+                          + 2 * dim_of[n.split(".")[-1]])
+                   for n in layer_names(cfg))
+
+    def _params_bytes():
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree_util.tree_leaves(params))
+
     timer = Timer()
-    with timer.section("calibrate"):
-        stats = calibrate(cfg, params, batches)
-        jax.block_until_ready(stats)
+    spill_calibration = False
     if jax.default_backend() not in ("cpu",):
+        # Statistics that do not fit HBM even WITHOUT solve workspace
+        # (OPT-2.7B: 17.6 GB of Hessians) poison calibration itself;
+        # sweep layer-outer and spill each layer's stats to the host
+        # (models/quantize.calibrate_spill).
+        est = _params_bytes() + _est_stats_bytes()
+        spill_calibration = est + 1.5e9 > _hbm_limit()
+    with timer.section("calibrate"):
+        if spill_calibration:
+            from sleekit_tpu.models.quantize import calibrate_spill
+            print(f"stats+params estimate {est / 1e9:.2f} GB exceeds HBM: "
+                  "layer-outer SPILL calibration (host-resident stats)",
+                  flush=True)
+            stats = calibrate_spill(cfg, params, batches)
+        else:
+            stats = calibrate(cfg, params, batches)
+            jax.block_until_ready(stats)
+    if jax.default_backend() not in ("cpu",) and not spill_calibration:
         # Offload statistics to the host ONLY when the footprint demands
         # it. The round-1 blanket offload avoided a RESOURCE_EXHAUSTED
         # (every Hessian + dense f32 params + every solution held at
@@ -114,10 +153,7 @@ def main(argv=None):
                        for x in jax.tree_util.tree_leaves(t))
 
         need = _tree_bytes(stats) + _tree_bytes(params)
-        try:
-            limit = jax.local_devices()[0].memory_stats()["bytes_limit"]
-        except Exception:  # noqa: BLE001 - memory_stats is backend-optional
-            limit = 16e9
+        limit = _hbm_limit()
         # Headroom for the largest solve workspace (fc2-class Hessian
         # copy + flipped Cholesky + grid-scaling temps + dequantized
         # solution; 2.3 GB measured insufficient for OPT-1.3B fc2).
@@ -171,15 +207,35 @@ def main(argv=None):
             import threading
 
             def _drain():
-                # ONE batched device_get (per-entry fetches serialize
-                # through the axon tunnel); replace entries still
-                # pending so their device buffers free as solves and
-                # the drain race forward together.
-                fetched = jax.device_get(
-                    {n: stats[n] for n in shed if n in stats})
-                for n, v in fetched.items():
-                    if n in stats:
-                        stats[n] = v
+                # CHUNKED device_gets (~2 GB each): one monolithic fetch
+                # frees NO device memory until every leaf lands on the
+                # host, so the racing solves OOM'd against a still-full
+                # HBM (first on-hardware exercise of this branch, round-5
+                # OPT-2.7B run). Chunks free incrementally; the solve
+                # loop additionally retries on RESOURCE_EXHAUSTED while
+                # the drain catches up (models/quantize.py).
+                group: list = []
+                gb = 0.0
+
+                def flush():
+                    nonlocal group, gb
+                    if not group:
+                        return
+                    fetched = jax.device_get(
+                        {n: stats[n] for n in group if n in stats})
+                    for n, v in fetched.items():
+                        if n in stats:
+                            stats[n] = v
+                    group, gb = [], 0.0
+
+                for n in shed:
+                    if n not in stats:
+                        continue
+                    group.append(n)
+                    gb += _tree_bytes(stats[n])
+                    if gb >= 2e9:
+                        flush()
+                flush()
 
             t = threading.Thread(target=_drain, daemon=True)
             with timer.section("stats_offload"):
@@ -195,7 +251,8 @@ def main(argv=None):
     with timer.section("quantize"):
         qparams, reports = quantize_model(cfg, params, stats, qconfig,
                                           pack=args.pack, verbose=True,
-                                          free_stats=True)
+                                          free_stats=True,
+                                          pack_host=spill_calibration)
     with timer.section("save"):
         save_packed_params(args.out, qparams, meta={
             "model": args.model, "preset": args.preset,

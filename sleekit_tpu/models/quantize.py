@@ -98,6 +98,63 @@ def _calibrate_layerwise(cfg, params, batches, stats):
     return stats
 
 
+def calibrate_spill(cfg: TransformerConfig, params, batches):
+    """Layer-OUTER calibration for models whose statistics do not fit
+    HBM even without solve workspace (OPT-2.7B: 17.6 GB of Hessians on a
+    16 GB chip - calibration itself poisons; first observed on the
+    round-5 on-hardware drain run).
+
+    The batch activations at each layer boundary are tiny (MBs) next to
+    the Hessians, so hold ALL batch activations on device, sweep layer
+    by layer updating only THAT layer's statistics, and spill them to
+    the host as the sweep advances - device residency is params +
+    activations + one layer's stats. Returns HOST (numpy) statistics;
+    the solve loop re-uploads per layer with prefetch (quantize_model).
+    Numerically identical to :func:`calibrate` (same update order per
+    layer; cross-layer order never mattered - statistics are
+    per-layer)."""
+    from sleekit_tpu.models.transformer import _block, _embed  # noqa: PLC0415
+    from sleekit_tpu.models.transformer import block_linear_names
+
+    from sleekit_tpu.hessian import init_stats
+
+    assert not cfg.scan_layers, "spill calibration needs unstacked params"
+    names = block_linear_names(cfg)
+    # Per-linear input dims WITHOUT allocating the full stats tree (the
+    # whole point is that it does not fit).
+    dim_of = {"q": cfg.d_model, "k": cfg.d_model, "v": cfg.d_model,
+              "o": cfg.d_model, "fc1": cfg.d_model, "fc2": cfg.d_ff,
+              "gate": cfg.d_model, "up": cfg.d_model, "down": cfg.d_ff}
+
+    @jax.jit
+    def embed_fn(params, tokens, positions):
+        return _embed(cfg, params, tokens, positions)
+
+    @jax.jit
+    def block_fn(layer, x, positions, bstats):
+        x, _, bstats = _block(cfg, layer, x, positions, None, bstats, 0)
+        return x, bstats
+
+    xs, poss = [], []
+    for tokens in batches:
+        tokens = jnp.asarray(tokens)
+        b, t = tokens.shape
+        positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+        poss.append(positions)
+        xs.append(embed_fn(params, tokens, positions))
+
+    host_stats: Dict[str, LayerStats] = {}
+    for i, layer in enumerate(params["layers"]):
+        bstats = {f"layers.0.{n}": init_stats(dim_of[n]) for n in names}
+        for j in range(len(xs)):
+            xs[j], bstats = block_fn(layer, xs[j], poss[j], bstats)
+        fetched = jax.device_get(bstats)      # frees device stats
+        for n in names:
+            host_stats[f"layers.{i}.{n}"] = fetched[f"layers.0.{n}"]
+        del bstats, fetched
+    return host_stats
+
+
 def _layer_artifact_path(resume_dir: str, name: str) -> str:
     return os.path.join(resume_dir, name.replace(".", "_") + ".npz")
 
@@ -123,12 +180,29 @@ def _load_layer_artifact(resume_dir: str, name: str):
 
 
 def _apply_solution(params, name, p, cb, Q, bias_delta, scale, qconfig,
-                    pack):
+                    pack, pack_host=False):
     bias = p.get("bias")
     if qconfig.bias_correction and bias is not None:
         bias = bias + bias_delta
     if pack:
-        new_p = pack_quantized(Q, scale, cb, bias=bias)
+        if pack_host:
+            # >HBM (spill) runs: pack on the host CPU backend so no
+            # persistent packed allocations interleave with the 5+ GB
+            # solve workspaces - 25 fc2 solves of the OPT-2.7B run
+            # fragmented the device heap until the 26th could not place
+            # its workspace (round-5 on-hardware drain exercise). The
+            # CLI save fetches everything to the host anyway.
+            import numpy as _np
+
+            Qh, sh = _np.asarray(Q), _np.asarray(scale)
+            bh = None if bias is None else _np.asarray(bias)
+            with jax.default_device(jax.devices("cpu")[0]):
+                new_p = pack_quantized(jnp.asarray(Qh), jnp.asarray(sh),
+                                       cb,
+                                       bias=None if bh is None
+                                       else jnp.asarray(bh))
+        else:
+            new_p = pack_quantized(Q, scale, cb, bias=bias)
     else:
         new_p = {"kernel": Q.T}
         if bias is not None:
@@ -147,6 +221,7 @@ def quantize_model(
     mesh=None,
     resume_dir: Optional[str] = None,
     free_stats: bool = False,
+    pack_host: bool = False,
 ) -> Tuple[Any, List[LayerReport]]:
     """Quantize every linear layer of the model.
 
@@ -185,7 +260,7 @@ def quantize_model(
         p = get_linear_param(params, name)
         cb_l = qconfig.make_codebook(p["kernel"].T) if per_layer_cb else cb
         _apply_solution(params, name, p, cb_l, Q, bias_delta, scale,
-                        qconfig, pack)
+                        qconfig, pack, pack_host=pack_host)
         if free_stats:
             stats.pop(name, None)
         reports[name] = LayerReport(name=name, error=float(jnp.sum(err)),
@@ -221,8 +296,10 @@ def quantize_model(
         for shape, group in sorted(groups.items(),
                                    key=lambda kv: (kv[0][1], kv[0][0])):
             t0 = time.time()
-            outs = _solve_layer_batch(params, stats, group, qconfig,
-                                      cb if explicit_cb else None, mesh)
+            outs = _solve_with_hbm_retry(
+                lambda group=group: jax.block_until_ready(
+                    _solve_layer_batch(params, stats, group, qconfig,
+                                       cb if explicit_cb else None, mesh)))
             wall = (time.time() - t0) / len(group)
             for name, out in zip(group, outs):
                 if resume_dir is not None:
@@ -253,13 +330,42 @@ def quantize_model(
         W = p["kernel"].T  # (out, in), the quantizer's layout
         cb_solve = (qconfig.make_codebook(W) if per_layer_cb
                     else (cb if explicit_cb else None))
-        out = quantize_layer(W, st.hessian, st.mean, qconfig, cb_solve)
+        # block_until_ready INSIDE the retried thunk: solves dispatch
+        # asynchronously, so an OOM would otherwise surface at some later
+        # unrelated fetch (observed at pack_quantized's LUT fetch on the
+        # 2.7B run) where no retry can rescue it.
+        out = _solve_with_hbm_retry(
+            lambda: jax.block_until_ready(
+                quantize_layer(W, st.hessian, st.mean, qconfig, cb_solve)))
         del st
         if resume_dir is not None:
             _save_layer_artifact(resume_dir, name, *out)
         finish(name, out, time.time() - t0)
 
     return params, [reports[name] for name in names]
+
+
+def _solve_with_hbm_retry(fn, attempts: int = 8, wait_s: float = 20.0):
+    """Run a solve, retrying on device RESOURCE_EXHAUSTED.
+
+    On >HBM models the CLI drains shed statistics to the host in a
+    background thread WHILE the (smallest-first) solves run; a solve can
+    transiently lose the race for HBM until more entries land on the
+    host (first observed on the OPT-2.7B on-hardware drain run, round
+    5). Waiting and retrying is exact - nothing about the solve depends
+    on timing - and a genuine out-of-memory still raises after the
+    retries are exhausted."""
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - match on message, re-raise
+            if ("RESOURCE_EXHAUSTED" not in str(e)
+                    or attempt == attempts - 1):
+                raise
+            print(f"  solve hit RESOURCE_EXHAUSTED; waiting {wait_s:.0f}s "
+                  f"for the background stats drain "
+                  f"({attempt + 1}/{attempts - 1})", flush=True)
+            time.sleep(wait_s)
 
 
 def _solve_layer_batch(params, stats, group: List[str],

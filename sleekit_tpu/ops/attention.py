@@ -487,6 +487,31 @@ def _fused_decode_kernel(pos_ref, layer_ref, q_ref, kn_ref, vn_ref,
                          o_ref, wk_ref, wv_ref, sk_ref, sv_ref,
                          acc_ref, m_ref, l_ref, *,
                          scale, kv, groups, s_blk, fold=1):
+    """See the original docstring below. ``k_ref``/``v_ref`` (and the
+    scale refs) may be TUPLES of refs: the paged path folds several
+    logical pages into one program (grid step ns covers S positions
+    [ns*pf*s_blk, (ns+1)*pf*s_blk) across pf page blocks) - per-program
+    launch overhead was the measured gap between paged-PS-128 and the
+    slot engine (92.9% at one page/program, round-5 journal)."""
+    if not isinstance(k_ref, tuple):
+        k_ref, v_ref = (k_ref,), (v_ref,)
+        ks_ref = (ks_ref,)
+        vs_ref = (vs_ref,)
+    elif ks_ref is None:
+        ks_ref = (None,) * len(k_ref)
+        vs_ref = (None,) * len(v_ref)
+    _fused_decode_kernel_impl(pos_ref, layer_ref, q_ref, kn_ref, vn_ref,
+                              k_ref, v_ref, slopes_ref, ks_ref, vs_ref,
+                              o_ref, wk_ref, wv_ref, sk_ref, sv_ref,
+                              acc_ref, m_ref, l_ref, scale=scale, kv=kv,
+                              groups=groups, s_blk=s_blk, fold=fold)
+
+
+def _fused_decode_kernel_impl(pos_ref, layer_ref, q_ref, kn_ref, vn_ref,
+                              k_refs, v_refs, slopes_ref, ks_refs, vs_refs,
+                              o_ref, wk_ref, wv_ref, sk_ref, sv_ref,
+                              acc_ref, m_ref, l_ref, *,
+                              scale, kv, groups, s_blk, fold=1):
     """Append-fused flash decode: one kernel per layer does BOTH the
     in-place KV append and the masked flash attention.
 
@@ -509,10 +534,11 @@ def _fused_decode_kernel(pos_ref, layer_ref, q_ref, kn_ref, vn_ref,
     """
     b = pl.program_id(0)
     ns = pl.program_id(2)
-    n_s = pl.num_programs(2)
+    n_prog = pl.num_programs(2)
     del layer_ref
     rows, cols = kv * groups, kv * s_blk
-    quantized = ks_ref is not None
+    quantized = ks_refs[0] is not None
+    pf = len(k_refs)
 
     @pl.when(ns == 0)
     def _():
@@ -534,28 +560,12 @@ def _fused_decode_kernel(pos_ref, layer_ref, q_ref, kn_ref, vn_ref,
     # halves/quarters the per-layer program count - per-program launch +
     # pipeline-setup overhead is the measured gap to the KV-stream bound
     # (BENCH_NOTES round-3/4). r indexes the row within the program; all
-    # scratch carries are (fold*rows, .) slices.
+    # scratch carries are (fold*rows, .) slices. The inner pi loop walks
+    # the pf S-blocks (pages) this program carries.
     for r in range(fold):
         sl = slice(r * rows, (r + 1) * rows)
         qf = q_ref[r].reshape(rows, D_)
-        k = k_ref[0, r].reshape(cols, D_)
-        logits = lax.dot_general(qf.astype(cdt), k.astype(cdt),
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        if quantized:
-            logits = logits * lane_vec(ks_ref[0, r])
-        row_h = lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // groups
-        col_h = lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // s_blk
-        col_s = (lax.broadcasted_iota(jnp.int32, (rows, cols), 1) % s_blk
-                 + ns * s_blk)
         p = pos_ref[b * fold + r]
-        if slopes_ref is not None:
-            slope = slopes_ref[...].astype(jnp.float32)      # (rows, 1)
-            logits = logits + slope * (col_s - p).astype(jnp.float32)
-        # STRICT mask: the streamed cache row at p is stale (pre-append);
-        # the new token's column is handled from VMEM below.
-        mask = (row_h == col_h) & (col_s < p)
-        logits = jnp.where(mask, logits, -jnp.inf)
 
         # ---- the new token's column, from VMEM ---------------------------
         kn = kn_ref[r]                                   # (kv, 1, D)
@@ -573,80 +583,114 @@ def _fused_decode_kernel(pos_ref, layer_ref, q_ref, kn_ref, vn_ref,
             vs_rows = jnp.broadcast_to(vsc[:, :, None],
                                        (kv, groups, 1)).reshape(rows, 1)
         else:
-            k_tok = kn.astype(k_ref.dtype).astype(cdt)
-            v_tok = vn.astype(v_ref.dtype).astype(cdt)
+            k_tok = kn.astype(k_refs[0].dtype).astype(cdt)
+            v_tok = vn.astype(v_refs[0].dtype).astype(cdt)
         knr = jnp.broadcast_to(k_tok, (kv, groups, D_)).reshape(rows, D_)
         vnr = jnp.broadcast_to(v_tok, (kv, groups, D_)).reshape(rows, D_)
-        nl = jnp.sum(qf.astype(cdt).astype(jnp.float32)
-                     * knr.astype(jnp.float32), axis=-1,
-                     keepdims=True) * scale
+        nl0 = jnp.sum(qf.astype(cdt).astype(jnp.float32)
+                      * knr.astype(jnp.float32), axis=-1,
+                      keepdims=True) * scale
         if quantized:
-            nl = nl * ks_rows
-        # ALiBi distance for the new token is 0 - no bias term.
-        nl = jnp.where(ns == 0, nl, -jnp.inf)            # count it ONCE
+            nl0 = nl0 * ks_rows
 
-        m_blk = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), nl)
-        m_prev = m_ref[sl, :1]
-        m_new = jnp.maximum(m_prev, m_blk)
-        alpha = jnp.exp(m_prev - m_new)                      # (rows, 1)
-        p_exp = jnp.exp(logits - m_new)                      # (rows, cols)
-        p_tok = jnp.exp(nl - m_new)                          # (rows, 1)
-        l_new = (l_ref[sl, :1] * alpha
-                 + jnp.sum(p_exp, axis=-1, keepdims=True) + p_tok)
-        v = v_ref[0, r].reshape(cols, D_)
-        if quantized:
-            p_exp = p_exp * lane_vec(vs_ref[0, r])
-            p_tok = p_tok * vs_rows
-        pv = jnp.dot(p_exp.astype(cdt), v.astype(cdt),
-                     preferred_element_type=jnp.float32)     # (rows, D)
-        pv = (pv + p_tok.astype(cdt).astype(jnp.float32)
-              * vnr.astype(jnp.float32))
-        acc_ref[sl] = acc_ref[sl] * alpha + pv
-        m_ref[sl] = jnp.broadcast_to(m_new, (rows, m_ref.shape[1]))
-        l_ref[sl] = jnp.broadcast_to(l_new, (rows, l_ref.shape[1]))
-
-        # ---- persist the token: append-window + scale-block outputs -----
-        # The output buffers are flushed ONCE per (b, chunk) - their index
-        # maps are constant in ns - so write them at the S-block
-        # containing p, where the stale window rows are already in VMEM.
-        @pl.when(ns == p // s_blk)
-        def _(r=r, p=p, kn=kn, vn=vn,
-              kq=kq if quantized else None, vq=vq if quantized else None,
-              ksc=ksc if quantized else None,
-              vsc=vsc if quantized else None):
-            # The stale window rows are already in VMEM inside this
-            # s-block: a dynamic SUBLANE slice (8-aligned) reads them
-            # directly (probe-verified on v5e; a one-hot 3D dot_general
-            # gather does NOT lower - Mosaic dots are 2D-only).
-            w0 = pl.multiple_of((p % s_blk) // _APPEND_WIN * _APPEND_WIN,
-                                _APPEND_WIN)
-            wk0 = k_ref[0, r, :, pl.ds(w0, _APPEND_WIN), :]  # (kv, WIN, D)
-            wv0 = v_ref[0, r, :, pl.ds(w0, _APPEND_WIN), :]
+        for pi in range(pf):
+            k_ref, v_ref = k_refs[pi], v_refs[pi]
+            ks_ref, vs_ref = ks_refs[pi], vs_refs[pi]
+            ns_eff = ns * pf + pi
+            k = k_ref[0, r].reshape(cols, D_)
+            logits = lax.dot_general(
+                qf.astype(cdt), k.astype(cdt), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
             if quantized:
-                k_store = kq.astype(jnp.float32)         # (kv, 1, D)
-                v_store = vq.astype(jnp.float32)
-            else:
-                k_store = kn.astype(jnp.float32)
-                v_store = vn.astype(jnp.float32)
-            rw = p % _APPEND_WIN
-            roww = lax.broadcasted_iota(jnp.int32, (_APPEND_WIN, 1), 0)
-            wmask = (roww == rw)[None]                   # (1, WIN, 1)
-            wk_ref[0, r] = jnp.where(
-                wmask, k_store, wk0.astype(jnp.float32)).astype(wk_ref.dtype)
-            wv_ref[0, r] = jnp.where(
-                wmask, v_store, wv0.astype(jnp.float32)).astype(wv_ref.dtype)
-            if quantized:
-                colv = (lax.broadcasted_iota(jnp.int32, (kv, s_blk), 1)
-                        + ns * s_blk)
-                smask = colv == p
-                sk_ref[0, r] = jnp.where(
-                    smask, jnp.broadcast_to(ksc, (kv, s_blk)),
-                    ks_ref[0, r].astype(jnp.float32)).astype(sk_ref.dtype)
-                sv_ref[0, r] = jnp.where(
-                    smask, jnp.broadcast_to(vsc, (kv, s_blk)),
-                    vs_ref[0, r].astype(jnp.float32)).astype(sv_ref.dtype)
+                logits = logits * lane_vec(ks_ref[0, r])
+            row_h = (lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+                     // groups)
+            col_h = (lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+                     // s_blk)
+            col_s = (lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+                     % s_blk + ns_eff * s_blk)
+            if slopes_ref is not None:
+                slope = slopes_ref[...].astype(jnp.float32)  # (rows, 1)
+                logits = logits + slope * (col_s - p).astype(jnp.float32)
+            # STRICT mask: the streamed cache row at p is stale
+            # (pre-append); the new token's column comes from VMEM.
+            mask = (row_h == col_h) & (col_s < p)
+            logits = jnp.where(mask, logits, -jnp.inf)
 
-    @pl.when(ns == n_s - 1)
+            # ALiBi distance for the new token is 0 - no bias term.
+            nl = jnp.where(ns_eff == 0, nl0, -jnp.inf)   # count it ONCE
+
+            m_blk = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True),
+                                nl)
+            m_prev = m_ref[sl, :1]
+            m_new = jnp.maximum(m_prev, m_blk)
+            alpha = jnp.exp(m_prev - m_new)                  # (rows, 1)
+            p_exp = jnp.exp(logits - m_new)                  # (rows, cols)
+            p_tok = jnp.exp(nl - m_new)                      # (rows, 1)
+            l_new = (l_ref[sl, :1] * alpha
+                     + jnp.sum(p_exp, axis=-1, keepdims=True) + p_tok)
+            v = v_ref[0, r].reshape(cols, D_)
+            if quantized:
+                p_exp = p_exp * lane_vec(vs_ref[0, r])
+                p_tok = p_tok * vs_rows
+            pv = jnp.dot(p_exp.astype(cdt), v.astype(cdt),
+                         preferred_element_type=jnp.float32)  # (rows, D)
+            pv = (pv + p_tok.astype(cdt).astype(jnp.float32)
+                  * vnr.astype(jnp.float32))
+            acc_ref[sl] = acc_ref[sl] * alpha + pv
+            m_ref[sl] = jnp.broadcast_to(m_new, (rows, m_ref.shape[1]))
+            l_ref[sl] = jnp.broadcast_to(l_new, (rows, l_ref.shape[1]))
+
+            # ---- persist the token: append-window + scale-block outputs -
+            # The output buffers are flushed ONCE per (b, chunk) - their
+            # index maps are constant in ns - so write them at the
+            # S-block containing p, where the stale window rows are
+            # already in VMEM.
+            @pl.when(ns_eff == p // s_blk)
+            def _(r=r, p=p, kn=kn, vn=vn, ns_eff=ns_eff,
+                  k_ref=k_ref, v_ref=v_ref, ks_ref=ks_ref, vs_ref=vs_ref,
+                  kq=kq if quantized else None,
+                  vq=vq if quantized else None,
+                  ksc=ksc if quantized else None,
+                  vsc=vsc if quantized else None):
+                # The stale window rows are already in VMEM inside this
+                # s-block: a dynamic SUBLANE slice (8-aligned) reads them
+                # directly (probe-verified on v5e; a one-hot 3D
+                # dot_general gather does NOT lower - Mosaic dots are
+                # 2D-only).
+                w0 = pl.multiple_of(
+                    (p % s_blk) // _APPEND_WIN * _APPEND_WIN, _APPEND_WIN)
+                wk0 = k_ref[0, r, :, pl.ds(w0, _APPEND_WIN), :]
+                wv0 = v_ref[0, r, :, pl.ds(w0, _APPEND_WIN), :]
+                if quantized:
+                    k_store = kq.astype(jnp.float32)     # (kv, 1, D)
+                    v_store = vq.astype(jnp.float32)
+                else:
+                    k_store = kn.astype(jnp.float32)
+                    v_store = vn.astype(jnp.float32)
+                rw = p % _APPEND_WIN
+                roww = lax.broadcasted_iota(jnp.int32, (_APPEND_WIN, 1), 0)
+                wmask = (roww == rw)[None]               # (1, WIN, 1)
+                wk_ref[0, r] = jnp.where(
+                    wmask, k_store,
+                    wk0.astype(jnp.float32)).astype(wk_ref.dtype)
+                wv_ref[0, r] = jnp.where(
+                    wmask, v_store,
+                    wv0.astype(jnp.float32)).astype(wv_ref.dtype)
+                if quantized:
+                    colv = (lax.broadcasted_iota(jnp.int32, (kv, s_blk), 1)
+                            + ns_eff * s_blk)
+                    smask = colv == p
+                    sk_ref2 = jnp.where(
+                        smask, jnp.broadcast_to(ksc, (kv, s_blk)),
+                        ks_ref[0, r].astype(jnp.float32))
+                    sk_ref[0, r] = sk_ref2.astype(sk_ref.dtype)
+                    sv_ref2 = jnp.where(
+                        smask, jnp.broadcast_to(vsc, (kv, s_blk)),
+                        vs_ref[0, r].astype(jnp.float32))
+                    sv_ref[0, r] = sv_ref2.astype(sv_ref.dtype)
+
+    @pl.when(ns == n_prog - 1)
     def _():
         for r in range(fold):
             sl = slice(r * rows, (r + 1) * rows)

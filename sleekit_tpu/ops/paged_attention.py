@@ -211,11 +211,27 @@ def paged_flash_decode_pallas(q, pool_k, pool_v, page_table, pos, layer,
     return out.reshape(B, H, D)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+# Logical pages folded into one program of the fused paged kernel: each
+# program fetches ``page_fold`` page blocks (separate BlockSpecs, each
+# dereferencing its own table entry) and walks them with one online-
+# softmax carry. One page per program measures 92.9% of the slot engine
+# at PS=128 (launch overhead). MEASURED REGRESSION at fold=2 (66 ms/step
+# vs 2.1, round-5 journal): the fold passes the pool as pf separate
+# operands, and donating a buffer that another operand still reads
+# forces XLA to COPY the whole pool every call - multi-operand folding
+# is structurally incompatible with in-place aliasing. Default stays 1;
+# use PS=256 when slot-parity throughput matters (99.3% measured) and
+# fine pages when memory granularity matters (92.9%).
+PAGED_FOLD = 1
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "page_fold",
+                                             "interpret"))
 def paged_fused_decode_append_pallas(q, k_new, v_new, pool_k, pool_v,
                                      page_table, pos, layer, scale: float,
                                      alibi_slopes: Optional[jnp.ndarray] = None,
                                      k_scale=None, v_scale=None,
+                                     page_fold: Optional[int] = None,
                                      interpret: bool = False):
     """One-kernel paged decode step: appends k_new/v_new (B, KV, D) into
     the page pool (L, P, KV, PS, D) at logical position ``pos`` of layer
@@ -245,6 +261,10 @@ def paged_fused_decode_append_pallas(q, k_new, v_new, pool_k, pool_v,
     G = H // KV
     rows = KV * G
     MAXP = page_table.shape[1]
+    pf = PAGED_FOLD if page_fold is None else page_fold
+    while pf > 1 and MAXP % pf:
+        pf -= 1
+    pf = max(pf, 1)
     q4 = q.reshape(B, KV, G, D)
     k_new = k_new.reshape(B, KV, 1, D)
     v_new = v_new.reshape(B, KV, 1, D)
@@ -253,8 +273,10 @@ def paged_fused_decode_append_pallas(q, k_new, v_new, pool_k, pool_v,
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     pt = page_table.astype(jnp.int32)
 
-    def cache_map(b, c, j, p, t, l):
-        return (l[0], t[b, j], 0, 0, 0)
+    def cache_map(pi):
+        def m(b, c, j, p, t, l):
+            return (l[0], t[b, j * pf + pi], 0, 0, 0)
+        return m
 
     def win_map(b, c, j, p, t, l):
         pp = p[b]
@@ -263,15 +285,27 @@ def paged_fused_decode_append_pallas(q, k_new, v_new, pool_k, pool_v,
     def spage_map(b, c, j, p, t, l):
         return (l[0], t[b, p[b] // PS], 0, 0)
 
+    def scale_map(pi):
+        def m(b, c, j, p, t, l):
+            return (l[0], t[b, j * pf + pi], 0, 0)
+        return m
+
     q_map = lambda b, c, j, p, t, l: (b, 0, 0, 0)  # noqa: E731
     new_spec = pl.BlockSpec((1, KV, 1, D), q_map, memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, KV, G, D), q_map, memory_space=pltpu.VMEM),
         new_spec, new_spec,
-        pl.BlockSpec((1, 1, KV, PS, D), cache_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, KV, PS, D), cache_map, memory_space=pltpu.VMEM),
     ]
-    args = [pos, pt, layer, q4, k_new, v_new, pool_k, pool_v]
+    # pf interleaved (k, v) page blocks, each dereferencing its own
+    # table entry: one program walks logical pages j*pf .. j*pf+pf-1.
+    for pi in range(pf):
+        in_specs += [pl.BlockSpec((1, 1, KV, PS, D), cache_map(pi),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, 1, KV, PS, D), cache_map(pi),
+                                  memory_space=pltpu.VMEM)]
+    args = [pos, pt, layer, q4, k_new, v_new]
+    for _ in range(pf):
+        args += [pool_k, pool_v]
     has_slopes = alibi_slopes is not None
     has_scales = k_scale is not None
     if has_slopes:
@@ -281,11 +315,11 @@ def paged_fused_decode_append_pallas(q, k_new, v_new, pool_k, pool_v,
                                      memory_space=pltpu.VMEM))
         args.append(slopes2)
     if has_scales:
-        sspec = pl.BlockSpec((1, 1, KV, PS),
-                             lambda b, c, j, p, t, l: (l[0], t[b, j], 0, 0),
-                             memory_space=pltpu.VMEM)
-        in_specs += [sspec, sspec]
-        args += [k_scale, v_scale]
+        for pi in range(pf):
+            sspec = pl.BlockSpec((1, 1, KV, PS), scale_map(pi),
+                                 memory_space=pltpu.VMEM)
+            in_specs += [sspec, sspec]
+            args += [k_scale, v_scale]
 
     win_spec = pl.BlockSpec((1, 1, KV, _APPEND_WIN, D), win_map,
                             memory_space=pltpu.VMEM)
@@ -298,7 +332,10 @@ def paged_fused_decode_append_pallas(q, k_new, v_new, pool_k, pool_v,
         jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
         jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
     ]
-    # args: [pos, pt, layer, q, kn, vn, pk, pv, (slopes), (ks, vs)]
+    # args: [pos, pt, layer, q, kn, vn, (pk, pv)*pf, (slopes),
+    #        (ks, vs)*pf]; the FIRST pool pair aliases the in-place
+    #        window outputs, the first scale pair the scale-block
+    #        outputs.
     aliases = {6: 1, 7: 2}
     if has_scales:
         sout = pl.BlockSpec((1, 1, KV, PS), spage_map,
@@ -306,18 +343,23 @@ def paged_fused_decode_append_pallas(q, k_new, v_new, pool_k, pool_v,
         out_specs += [sout, sout]
         out_shape += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
                       jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
-        si = 9 if has_slopes else 8
+        si = 6 + 2 * pf + int(has_slopes)
         aliases[si] = 3
         aliases[si + 1] = 4
 
-    def kernel(pr, ptr, lr, qr, knr, vnr, kr, vr, *rest):
+    def kernel(pr, ptr, lr, qr, knr, vnr, *rest):
         del ptr  # page table consumed by the index maps
-        i = 0
-        slopes = rest[0] if has_slopes else None
+        krs = tuple(rest[2 * pi] for pi in range(pf))
+        vrs = tuple(rest[2 * pi + 1] for pi in range(pf))
+        i = 2 * pf
+        slopes = rest[i] if has_slopes else None
         i += int(has_slopes)
-        ks = rest[i] if has_scales else None
-        vs = rest[i + 1] if has_scales else None
-        i += 2 * int(has_scales)
+        if has_scales:
+            kss = tuple(rest[i + 2 * pi] for pi in range(pf))
+            vss = tuple(rest[i + 2 * pi + 1] for pi in range(pf))
+            i += 2 * pf
+        else:
+            kss = vss = (None,) * pf
         outs = rest[i:]
         if has_scales:
             o, wk, wv, sk, sv = outs[:5]
@@ -327,16 +369,16 @@ def paged_fused_decode_append_pallas(q, k_new, v_new, pool_k, pool_v,
             sk = sv = None
             scratch = outs[3:]
         # The grid's page axis (program_id(2)) is the kernel's S-block
-        # axis: global col_s = j * PS + local, exactly the slot kernel's
-        # ns * s_blk + local.
-        _fused_decode_kernel(pr, lr, qr, knr, vnr, kr, vr, slopes, ks, vs,
-                             o, wk, wv, sk, sv, *scratch,
+        # axis: global col_s = (j*pf + pi) * PS + local, exactly the
+        # slot kernel's ns * s_blk + local.
+        _fused_decode_kernel(pr, lr, qr, knr, vnr, krs, vrs, slopes,
+                             kss, vss, o, wk, wv, sk, sv, *scratch,
                              scale=scale, kv=KV, groups=G, s_blk=PS,
                              fold=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,          # pos, page_table, layer
-        grid=(B, 1, MAXP),
+        grid=(B, 1, MAXP // pf),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[

@@ -175,3 +175,30 @@ def test_zoo_configs_construct():
         cfg = get_config(name)
         assert cfg.d_model % cfg.n_heads == 0
         assert len(layer_names(cfg)) in (6 * cfg.n_layers, 7 * cfg.n_layers)
+
+
+def test_calibrate_spill_matches_standard():
+    """Layer-outer spill calibration (host-resident stats for models
+    whose Hessians exceed HBM, e.g. OPT-2.7B's 17.6 GB) is numerically
+    identical to the standard on-device path."""
+    import numpy as np
+    import jax
+    from sleekit_tpu.models.quantize import calibrate, calibrate_spill
+    from sleekit_tpu.models.transformer import init_params
+    from sleekit_tpu.models.zoo import tiny_test
+
+    cfg = tiny_test(n_layers=3)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batches = [rng.randint(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+               for _ in range(3)]
+    a = calibrate(cfg, params, batches, layerwise=True)
+    b = calibrate_spill(cfg, params, batches)
+    assert set(a) == set(b)
+    for k in a:
+        assert isinstance(b[k].hessian, np.ndarray)  # host-resident
+        np.testing.assert_allclose(np.asarray(a[k].hessian), b[k].hessian,
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a[k].mean), b[k].mean,
+                                   rtol=1e-6, atol=1e-6)
+        assert int(a[k].count) == int(b[k].count)

@@ -210,3 +210,44 @@ def test_paged_equals_contiguous():
                                    layer, use_pallas=False, interpret=True)
     np.testing.assert_allclose(np.asarray(res_p[0]), np.asarray(o_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("pf", [2, 4])
+def test_paged_fused_page_fold_matches_unfolded(quant, pf):
+    """page_fold > 1 (several logical pages per program, each with its
+    own table-dereferencing BlockSpec) is numerically identical to one
+    page per program on output and every pool plane."""
+    L, P, KV, PS, D, B, G, MAXP = 2, 16, 2, 16, 64, 3, 2, 4
+    rng = np.random.RandomState(31)
+    if quant:
+        pool_k = jnp.asarray(rng.randint(-127, 128, (L, P, KV, PS, D)),
+                             jnp.int8)
+        pool_v = jnp.asarray(rng.randint(-127, 128, (L, P, KV, PS, D)),
+                             jnp.int8)
+        extra = {"k_scale": jnp.asarray(
+                     0.01 + rng.rand(L, P, KV, PS).astype(np.float32)),
+                 "v_scale": jnp.asarray(
+                     0.01 + rng.rand(L, P, KV, PS).astype(np.float32))}
+    else:
+        pool_k = jnp.asarray(rng.randn(L, P, KV, PS, D), jnp.float32)
+        pool_v = jnp.asarray(rng.randn(L, P, KV, PS, D), jnp.float32)
+        extra = {}
+    pt = jnp.asarray(1 + rng.permutation(12).reshape(B, MAXP), jnp.int32)
+    kn = jnp.asarray(rng.randn(B, KV, D), jnp.float32)
+    vn = jnp.asarray(rng.randn(B, KV, D), jnp.float32)
+    q = jnp.asarray(rng.randn(B, KV * G, D), jnp.float32)
+    pos = jnp.asarray([0, PS + 3, MAXP * PS - 1], jnp.int32)
+    layer = jnp.int32(1)
+    scale = 1.0 / np.sqrt(D)
+
+    base = paged_fused_decode_append_pallas(
+        q, kn, vn, pool_k, pool_v, pt, pos, layer, scale,
+        page_fold=1, interpret=True, **extra)
+    got = paged_fused_decode_append_pallas(
+        q, kn, vn, pool_k, pool_v, pt, pos, layer, scale,
+        page_fold=pf, interpret=True, **extra)
+    for a, b in zip(base, got):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-6, atol=1e-6)

@@ -312,6 +312,43 @@ def main(argv=None) -> int:
     record("paged_fused_decode_append/int8", run_paged_fused_q,
            check=paged_fused_oracle_q)
 
+    # ---- flash prefill (GQA-native + ALiBi) ---------------------------
+    for tag, (pB, pKV, pT, pD, pG, alibi) in {
+            "mha": (2, 8, 512, 64, 1, False),
+            "gqa": (1, 4, 512, 128, 4, False),
+            "alibi": (1, 8, 256, 64, 1, True)}.items():
+        pH = pKV * pG
+        pq = jnp.asarray(rng.randn(pB, pT, pH, pD).astype(np.float32),
+                         jnp.bfloat16)
+        pk = jnp.asarray(rng.randn(pB, pKV, pT, pD).astype(np.float32),
+                         jnp.bfloat16)
+        pv = jnp.asarray(rng.randn(pB, pKV, pT, pD).astype(np.float32),
+                         jnp.bfloat16)
+        psl = (jnp.linspace(0.02, 0.4, pH) if alibi else None)
+        psc = 1.0 / np.sqrt(pD)
+
+        def run_prefill(pq=pq, pk=pk, pv=pv, psl=psl, psc=psc):
+            return at.flash_prefill_pallas(pq, pk, pv, psc,
+                                           alibi_slopes=psl,
+                                           interpret=interpret)
+
+        def prefill_oracle(pq=pq, pk=pk, pv=pv, psl=psl, psc=psc,
+                           pG=pG, pT=pT):
+            k = jnp.repeat(pk, pG, axis=1).astype(jnp.float32)
+            v = jnp.repeat(pv, pG, axis=1).astype(jnp.float32)
+            pos = jnp.arange(pT)
+            bias = jnp.where(pos[None, :] <= pos[:, None], 0.0, -jnp.inf)
+            lg = jnp.einsum("bthd,bhsd->bhts", pq.astype(jnp.float32),
+                            k) * psc + bias[None, None]
+            if psl is not None:
+                dist = (pos[None, :] - pos[:, None]).astype(jnp.float32)
+                lg = lg + jnp.where(
+                    pos[None, :] <= pos[:, None],
+                    psl[None, :, None, None] * dist[None, None], 0.0)
+            return jnp.einsum("bhts,bhsd->bthd",
+                              jax.nn.softmax(lg, axis=-1), v)
+        record(f"flash_prefill/{tag}", run_prefill, check=prefill_oracle)
+
     n_ok = sum(r["ok"] for r in results)
     summary = {"backend": backend, "cases": len(results), "ok": n_ok,
                "failed": [r["case"] for r in results if not r["ok"]],
