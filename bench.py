@@ -179,7 +179,9 @@ def main():
         sync(toks)
         log(f"  {tag}: compile+first loop {time.time() - t0:.1f}s")
         best = float("inf")
-        for _ in range(3):
+        # Best-of-5: the driver's cold run is one session; extra reps
+        # are cheap (~0.15 s each) insurance against tunnel hiccups.
+        for _ in range(5):
             cache = make_cache(cache_dtype, paged, scale_dtype)
             t0 = time.time()
             toks, cache, last, pos = scan_fn(cfg, params, cache, first,

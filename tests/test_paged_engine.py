@@ -125,3 +125,34 @@ def test_paged_pool_smaller_than_worst_case():
     out_p = paged.run(_requests())
     for a, b in zip(out_d, out_p):
         assert np.array_equal(a.new_tokens, b.new_tokens)
+
+
+def test_paged_engine_sampled_matches_dense():
+    """Temperature/top-k sampling through the paged pool == the dense
+    slot engine token for token (same slot geometry + seed -> identical
+    PRNG stream; the fused sampled scan and the per-step sampler both
+    ride the paged decode path)."""
+    rng = np.random.RandomState(4)
+    reqs = [Request(prompt=rng.randint(0, 64, n).astype(np.int32),
+                    max_new_tokens=m, temperature=t, top_k=k)
+            for n, m, t, k in [(5, 8, 0.8, 0), (9, 6, 0.0, 0),
+                               (3, 10, 1.1, 8)]]
+
+    def mk():
+        return [Request(prompt=r.prompt.copy(),
+                        max_new_tokens=r.max_new_tokens,
+                        temperature=r.temperature, top_k=r.top_k)
+                for r in reqs]
+
+    cfg = tiny_test(d_model=64, n_heads=4, n_layers=2, d_ff=96,
+                    vocab_size=64, scan_layers=True)
+    params = stack_layer_params(init_params(cfg, jax.random.PRNGKey(0)))
+    dense = Engine(cfg, params, max_slots=2, max_seq_len=48,
+                   cache_dtype=jnp.int8, seed=5)
+    paged = Engine(cfg, params, max_slots=2, max_seq_len=48,
+                   cache_dtype=jnp.int8, seed=5, paged=True, page_size=16)
+    out_d = dense.run(mk())
+    out_p = paged.run(mk())
+    for a, b in zip(out_d, out_p):
+        assert np.array_equal(a.new_tokens, b.new_tokens), (
+            a.new_tokens, b.new_tokens)
