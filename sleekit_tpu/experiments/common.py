@@ -19,6 +19,21 @@ from sleekit_tpu.codebooks import UniformCodebook
 from sleekit_tpu.hessian import remove_dead_values, remove_input_bias
 
 
+def honor_platform_env() -> None:
+    """Re-pin jax_platforms from JAX_PLATFORMS when it asks for cpu.
+
+    The axon sitecustomize pins jax_platforms to "axon,cpu" at import
+    time, so the env var alone cannot put a CLI on the virtual-device
+    CPU backend (needed for --replicas/--tp testing without a pod).
+    Call BEFORE first jax use."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 def add_common_args(parser: argparse.ArgumentParser,
                     codebook_size: int = 4) -> None:
     parser.add_argument("dir", type=str, help="Directory containing the weights")

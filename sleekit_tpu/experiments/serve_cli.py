@@ -39,7 +39,15 @@ def main(argv=None):
                         help="tensor-parallel ways over a ('data','model')"
                              " mesh; params must NOT be pre-split "
                              "(prepare_params_for_tp runs here)")
+    parser.add_argument("--replicas", type=int, default=1,
+                        help="data-axis replicas served as independent "
+                             "engines (serve.router.ReplicaRouter): "
+                             "replicas*tp devices, round-robin admission,"
+                             " zero cross-replica collectives")
     args = parser.parse_args(argv)
+
+    from sleekit_tpu.experiments.common import honor_platform_env
+    honor_platform_env()
 
     import jax.numpy as jnp
 
@@ -55,7 +63,8 @@ def main(argv=None):
     if args.tp > 1:
         from sleekit_tpu.parallel.mesh import make_mesh, prepare_params_for_tp
         params = prepare_params_for_tp(cfg, params, args.tp)
-        mesh = make_mesh(data=1, model=args.tp)
+        if args.replicas == 1:
+            mesh = make_mesh(data=1, model=args.tp)
         print(f"tensor-parallel over {args.tp} devices")
 
     rng = np.random.RandomState(args.seed)
@@ -70,11 +79,18 @@ def main(argv=None):
 
     cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                    "int8": jnp.int8}[args.kv]
-    engine = Engine(cfg, params, max_slots=args.slots,
-                    max_seq_len=args.max_seq_len, seed=args.seed,
-                    cache_dtype=cache_dtype, paged=args.paged,
-                    page_size=args.page_size, total_pages=args.total_pages,
-                    mesh=mesh)
+    engine_kw = dict(max_slots=args.slots, max_seq_len=args.max_seq_len,
+                     seed=args.seed, cache_dtype=cache_dtype,
+                     paged=args.paged, page_size=args.page_size,
+                     total_pages=args.total_pages)
+    if args.replicas > 1:
+        from sleekit_tpu.serve.router import ReplicaRouter, replica_meshes
+        engine = ReplicaRouter(
+            cfg, params, replica_meshes(args.replicas, args.tp),
+            **engine_kw)
+        print(f"data axis: {args.replicas} independent replica engines")
+    else:
+        engine = Engine(cfg, params, mesh=mesh, **engine_kw)
     def mk_reqs():
         return [Request(prompt=p, max_new_tokens=args.max_new_tokens,
                         temperature=args.temperature) for p in prompts]

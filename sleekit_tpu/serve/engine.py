@@ -165,7 +165,12 @@ class Engine:
                 "a single multi-process Engine serves TP over the process "
                 "boundary with data=1; scale the data axis with "
                 "serve.router.ReplicaRouter (one engine per replica)")
-            assert not paged, "paged pool not supported multi-process yet"
+            assert not paged, (
+                "a SPANNING-mesh multi-process Engine cannot serve the "
+                "paged pool (lockstep host loops would need cross-rank "
+                "page-table agreement); serve paged multi-host via "
+                "serve.router.ReplicaRouter - each replica's engine owns "
+                "its own pool (tests/test_router.py)")
         if self._tp:
             assert max_slots % mesh.shape.get("data", 1) == 0
         if paged:

@@ -152,3 +152,27 @@ def test_router_decode_has_no_data_axis_collectives():
     extra = {k: v for k, v in got.items()
              if k not in ("psum", "psum2", "all_gather")}
     assert not extra, got
+
+
+def test_router_with_paged_engines():
+    """ReplicaRouter + paged-pool TP engines - the flagship multi-host
+    serving combination (each host: TP sub-mesh + its own page pool;
+    the data axis never shares a program, so 'paged multi-process' is
+    just paged single-process per replica)."""
+    cfg = _cfg()
+    params = _params(cfg)
+    from sleekit_tpu.parallel.mesh import prepare_params_for_tp
+
+    tp_params = prepare_params_for_tp(cfg, params, 2)
+    meshes = replica_meshes(2, 2)
+    router = ReplicaRouter(cfg, tp_params, meshes, max_slots=2,
+                           max_seq_len=32, seed=0, paged=True,
+                           page_size=16)
+    got = router.run(_reqs(cfg))
+    assert len(got) == 5
+    for rep in (0, 1):
+        want = Engine(cfg, params, max_slots=2, max_seq_len=32,
+                      seed=0, paged=True, page_size=16).run(
+                          _reqs(cfg)[rep::2])
+        for g, w in zip(got[rep::2], want):
+            assert g.new_tokens.tolist() == w.new_tokens.tolist(), rep
