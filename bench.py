@@ -80,6 +80,10 @@ def main():
                         "bn": int(mm.group(4) or 0),
                         "p3m": int(mm.group(5) or 0)}
         log(f"  PAIR_TUNE override: {dq.PAIR_TUNE}")
+    if os.environ.get("BENCH_LUT_POLY"):
+        import sleekit_tpu.ops.dequant_matmul as _dqm
+        _dqm.LUT_POLY = os.environ["BENCH_LUT_POLY"] == "1"
+        log(f"  LUT_POLY={_dqm.LUT_POLY} (table-dequant strategy A/B)")
     if os.environ.get("BENCH_GLUE", "1") == "0":
         import sleekit_tpu.models.transformer as _tr
         _tr.GLUE_FUSE = False

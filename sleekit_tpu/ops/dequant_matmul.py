@@ -67,10 +67,14 @@ def dequant_matmul_xla(x: jnp.ndarray, w: PackedLinear) -> jnp.ndarray:
 
 
 def _kernel(*refs, nbits, vpw, ksize, affine, compute_dtype, kb_t=1,
-            stacked=False):
+            stacked=False, use_poly=False):
     if stacked:
         refs = refs[1:]  # scalar-prefetch layer index (used by index maps)
-    x_ref, w_ref, scale_ref, lut_ref, o_ref = refs
+    if use_poly:
+        x_ref, w_ref, scale_ref, lut_ref, poly_ref, o_ref = refs
+    else:
+        x_ref, w_ref, scale_ref, lut_ref, o_ref = refs
+        poly_ref = None
     k_step = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -94,6 +98,31 @@ def _kernel(*refs, nbits, vpw, ksize, affine, compute_dtype, kb_t=1,
         if affine is not None:
             step, zero = affine
             wv = (idx.astype(jnp.float32) * step + zero).astype(compute_dtype)
+        elif use_poly:
+            # Interpolating-polynomial dequant: Horner over a centered
+            # node variable replaces the select tree (k=16: two exact
+            # deg-7 halves selected by bit 3 - an f32 deg-15 coefficient
+            # map is too ill-conditioned, cond(V16)=3.3e6 -> 3e-3 error,
+            # while the split halves land at ~4e-6, far below the bf16
+            # operand rounding; round-5 journal). Ops/element ~= 7 fma +
+            # 8 coef selects + 3 vs the tree's 15 selects + 8 bit tests.
+            half = 8 if ksize == 16 else ksize
+            deg = half - 1
+            if ksize == 16:
+                b3 = (idx & 8) > 0
+                il = (idx & 7).astype(jnp.float32)
+                tc = il * (2.0 / deg) - 1.0
+                acc = jnp.where(b3, poly_ref[1, deg], poly_ref[0, deg])
+                for j in range(deg - 1, -1, -1):
+                    acc = acc * tc + jnp.where(b3, poly_ref[1, j],
+                                               poly_ref[0, j])
+            else:
+                tc = idx.astype(jnp.float32) * (2.0 / deg) - 1.0
+                acc = jnp.broadcast_to(poly_ref[0, deg],
+                                       idx.shape).astype(jnp.float32)
+                for j in range(deg - 1, -1, -1):
+                    acc = acc * tc + poly_ref[0, j]
+            wv = acc.astype(compute_dtype)
         elif ksize >= 4 and ksize & (ksize - 1) == 0:
             # Binary select (mux) tree on the index bits: level l keeps
             # the candidates whose low l+1 bits match, so k-1 selects +
@@ -435,6 +464,19 @@ def _pair_kernel(*refs, nbits, hp, pg, a_aff, b_aff, kb=1, split=False,
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# Table-codebook (plane-LUT) dequant strategy: True = interpolating-
+# polynomial Horner (k=16 NF4: two exact deg-7 halves derived in-trace
+# from the lut, coefficient error ~4e-6), False = binary mux tree on the
+# index bits. The op COUNT favors the polynomial (~18 vs ~23 VPU
+# ops/element) but the FULL BENCH says otherwise: poly 8.26 vs tree
+# 7.25 ms/step on NF4 OPT-1.3B same-session (round 5) - the deg-7
+# Horner is a serial fma dependency chain and the 8 per-level scalar
+# broadcasts don't count as 1 op, while the tree's selects parallelize.
+# Tree stays the default; the poly path + oracle test remain for
+# A/B (BENCH_LUT_POLY=1).
+LUT_POLY = False
 
 
 # Serving-default tuning of the pair kernel. kb=0 means auto (~256 word
@@ -812,9 +854,25 @@ def _pallas_impl(x, packed, scale, lut, layer=None, *, nbits, vpw,
 
     scale_p = jnp.pad(scale, (0, n_pad - n)).reshape(1, n_pad)
     lut_p = lut.reshape(1, ksize)
+    # Polynomial LUT path (see _kernel): derive the interpolating Horner
+    # coefficients IN-TRACE from the (traced) lut via a constant inverse-
+    # Vandermonde map - no PackedLinear format change, any table works.
+    use_poly = (LUT_POLY and affine is None and ksize in (4, 8, 16))
+    poly_p = None
+    if use_poly:
+        half = 8 if ksize == 16 else ksize
+        tj = (np.arange(half) - (half - 1) / 2.0) / ((half - 1) / 2.0)
+        Minv = jnp.asarray(np.linalg.inv(
+            np.vander(tj, half, increasing=True)), jnp.float32)
+        lut32 = lut.astype(jnp.float32)
+        if ksize == 16:
+            poly_p = jnp.stack([Minv @ lut32[:8], Minv @ lut32[8:]])
+        else:
+            poly_p = (Minv @ lut32).reshape(1, half)
     kernel = functools.partial(
         _kernel, nbits=nbits, vpw=vpw, ksize=ksize, affine=affine,
-        compute_dtype=compute_dtype, kb_t=kb_t, stacked=stacked)
+        compute_dtype=compute_dtype, kb_t=kb_t, stacked=stacked,
+        use_poly=use_poly)
 
     in_specs = [
         pl.BlockSpec((m_pad, bk), imap(lambda i, j: (0, j)),
@@ -825,9 +883,16 @@ def _pallas_impl(x, packed, scale, lut, layer=None, *, nbits, vpw,
         pl.BlockSpec((1, ksize), imap(lambda i, j: (0, 0)),
                      memory_space=pltpu.VMEM),
     ]
+    if use_poly:
+        in_specs.append(pl.BlockSpec(
+            poly_p.shape, imap(lambda i, j: (0, 0)),
+            memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((m_pad, bn), imap(lambda i, j: (0, i)),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32)
+    args = [x_p, packed_p, scale_p, lut_p]
+    if use_poly:
+        args.append(poly_p)
     if stacked:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
@@ -835,8 +900,7 @@ def _pallas_impl(x, packed, scale, lut, layer=None, *, nbits, vpw,
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
-        )(jnp.asarray(layer, jnp.int32).reshape(1),
-          x_p, packed_p, scale_p, lut_p)
+        )(jnp.asarray(layer, jnp.int32).reshape(1), *args)
     else:
         out = pl.pallas_call(
             kernel,
@@ -845,7 +909,7 @@ def _pallas_impl(x, packed, scale, lut, layer=None, *, nbits, vpw,
             out_specs=out_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(x_p, packed_p, scale_p, lut_p)
+        )(*args)
     return out[:m, :n]
 
 

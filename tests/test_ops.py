@@ -636,3 +636,49 @@ def test_prefill_m_chunking_matches_oracle():
     assert got.shape == oracle.shape
     err = np.abs(got - oracle).max() / (np.abs(oracle).max() + 1e-9)
     assert err < 2e-2, err
+
+
+def test_lut_poly_dequant_matches_tree_and_oracle():
+    """Polynomial-Horner LUT dequant (LUT_POLY, the k=16/8/4 table
+    serving path) == the mux-tree path == the XLA oracle; coefficient
+    derivation is in-trace from the (traced) lut, so any table works."""
+    import jax
+    import sleekit_tpu.ops.dequant_matmul as dq
+    from sleekit_tpu.codebooks import Codebook
+    from sleekit_tpu.ops.pack import pack_quantized
+
+    rng = np.random.RandomState(91)
+    for ksize in (16, 8, 4):
+        if ksize == 16:
+            cb = Codebook.nf4()
+        else:
+            cb = Codebook.create(
+                np.sort(rng.randn(ksize)).astype(np.float32))
+        K, N = 640, 96
+        W = rng.randn(N, K).astype(np.float32) * 0.5
+        scale = np.abs(W).max(axis=1) + 1e-3
+        Q = np.asarray(cb(jnp.asarray(W / scale[:, None]))) * scale[:, None]
+        p = pack_quantized(jnp.asarray(Q), jnp.asarray(scale), cb,
+                           layout="plane")
+        assert p.affine is None  # table codebook: the LUT path
+        x = jnp.asarray(rng.randn(4, K).astype(np.float32) * 0.1,
+                        jnp.bfloat16)
+        oracle = np.asarray(dequant_matmul_xla(x, p), np.float32)
+        old = dq.LUT_POLY
+        try:
+            dq.LUT_POLY = True
+            jax.clear_caches()   # LUT_POLY is read at trace time
+            poly = np.asarray(dequant_matmul_pallas(x, p, interpret=True),
+                              np.float32)
+            dq.LUT_POLY = False
+            jax.clear_caches()
+            tree = np.asarray(dequant_matmul_pallas(x, p, interpret=True),
+                              np.float32)
+        finally:
+            dq.LUT_POLY = old
+            jax.clear_caches()
+        ref_mag = np.abs(oracle).max() + 1e-9
+        assert np.abs(poly - oracle).max() / ref_mag < 2e-2, ksize
+        # poly vs tree: same bf16 operands modulo the ~4e-6 coefficient
+        # round-trip - far below the bf16 dot rounding.
+        assert np.abs(poly - tree).max() / ref_mag < 5e-3, ksize
