@@ -158,6 +158,12 @@ def main():
     # granularity at ~93% (one extra launch per layer per row); the
     # ENGINE default stays 64 for maximal packing of mixed lengths.
     page_size = int(os.environ.get("BENCH_PAGE", "256"))
+    # ctx must hold a whole number of pages: clamp to ctx, then shrink
+    # to a divisor (BENCH_CTX=128 with the 256 default previously built
+    # a zero-width page table - round-5 review).
+    page_size = max(min(page_size, ctx), 8)
+    while ctx % page_size:
+        page_size //= 2
 
     def make_cache(cache_dtype, paged, scale_dtype):
         if paged:
@@ -220,13 +226,17 @@ def main():
     legacy = (os.environ.get("BENCH_NBITS") or os.environ.get("BENCH_CODEBOOK")
               or os.environ.get("BENCH_LAYOUT") or os.environ.get("BENCH_PAGED"))
     if legacy:
-        name = (f"custom-int{nbits}"
-                if os.environ.get("BENCH_CODEBOOK") != "nf4" else "nf4")
+        is_nf4 = os.environ.get("BENCH_CODEBOOK") == "nf4"
+        name = f"custom-int{nbits}" if not is_nf4 else "nf4"
+        # Table codebooks must serve through the plane LUT kernels: the
+        # pair fast path needs an affine codebook and would silently
+        # fall back to the XLA dense-dequant oracle (round-5 review).
+        default_layout = ("plane" if is_nf4
+                          else "pair3x" if nbits == 3 else "pair")
         run_cfgs = [(name, dict(
             nbits=nbits,
-            layout=os.environ.get("BENCH_LAYOUT",
-                                  "pair3x" if nbits == 3 else "pair"),
-            nf4=os.environ.get("BENCH_CODEBOOK") == "nf4",
+            layout=os.environ.get("BENCH_LAYOUT", default_layout),
+            nf4=is_nf4,
             paged=os.environ.get("BENCH_PAGED", "0") == "1"))]
     else:
         sel = os.environ.get("BENCH_CONFIGS", "int4,int3,nf4,paged4")

@@ -739,9 +739,14 @@ def fused_decode_append_pallas(q, k_new, v_new, cache_k, cache_v, pos,
     # UNIFORM (scalar pos - the append-window block index must be shared
     # by every row of a program). Fewer programs = less launch/pipeline-
     # setup overhead, the measured gap to the KV-stream bound. ``fold``
-    # is jit-STATIC (an explicit argument beats the module global: a
-    # runtime change of FLASH_FOLD after the first trace would be
-    # silently swallowed by the jit cache - round-4 advisor finding).
+    # is jit-STATIC so DIRECT callers (tests, sweeps) get a fresh trace
+    # per value; fold=None falls back to FLASH_FOLD *at this function's
+    # trace time*, so a runtime change of the global is only picked up
+    # by programs traced afterwards - any OUTER jit (decode_scan etc.)
+    # that already baked this call in keeps its old value until its own
+    # cache is invalidated (jax.clear_caches() / new avals). Bench A/B
+    # knobs set the global before the first trace, which is why
+    # BENCH_ATTN_FOLD works.
     if fold is None:
         fold = FLASH_FOLD
     fold = fold if jnp.ndim(pos) == 0 else 1
@@ -1265,10 +1270,15 @@ def decode_attention(q, k_new, v_new, cache_k, cache_v, pos, layer,
         use_pallas = use_pallas_default()
     quantized = k_scale is not None
     if (use_pallas or interpret) and FLASH_FUSED_APPEND:
+        # Pass the module global explicitly: the inner jit then keys its
+        # cache on the VALUE, so a FLASH_FOLD change between direct
+        # decode_attention calls retraces (an outer jit around this
+        # still pins whatever value it traced - see the fold comment in
+        # fused_decode_append_pallas).
         res = fused_decode_append_pallas(
             q, k_new, v_new, cache_k, cache_v, pos, layer, scale,
             alibi_slopes, k_scale=k_scale, v_scale=v_scale,
-            interpret=interpret)
+            fold=FLASH_FOLD, interpret=interpret)
         return res
     if use_pallas or interpret:
         updated = kv_append_pallas(

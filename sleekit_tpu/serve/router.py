@@ -26,6 +26,7 @@ No reference analogue (the reference has no serving side, SURVEY.md
 
 from __future__ import annotations
 
+import contextlib
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -87,12 +88,29 @@ class ReplicaRouter:
         self.n_replicas = n_replicas or len(meshes)
         assert self.n_replicas >= len(meshes)
         self.engines: Dict[int, Engine] = {}
+        self._devices: Dict[int, Optional[object]] = {}
         for rid, mesh in zip(self.replica_ids, meshes):
+            dev = None
             if mesh is not None and mesh.shape.get("model", 1) == 1:
-                mesh = None          # single-device replica: plain engine
-            self.engines[rid] = Engine(cfg, params, mesh=mesh, **engine_kw)
+                # Single-device replica: plain engine, PINNED to its
+                # assigned device (dropping the mesh without pinning put
+                # every tp=1 replica on device 0 - round-5 review
+                # finding). default_device commits the engine's arrays
+                # (cache, params copies, step inputs) to the device, so
+                # its jitted programs execute there.
+                dev = list(mesh.devices.flat)[0]
+                mesh = None
+            self._devices[rid] = dev
+            with self._ctx(rid=None, dev=dev):
+                self.engines[rid] = Engine(cfg, params, mesh=mesh,
+                                           **engine_kw)
         self._next_idx = 0
         self._assignment: Dict[int, int] = {}    # request_id -> replica
+
+    def _ctx(self, rid, dev="unset"):
+        d = self._devices.get(rid) if dev == "unset" else dev
+        return (jax.default_device(d) if d is not None
+                else contextlib.nullcontext())
 
     # ---- public API ---------------------------------------------------
 
@@ -116,9 +134,10 @@ class ReplicaRouter:
 
     def step(self) -> None:
         """One interleaved scheduling iteration across local replicas."""
-        for e in self.engines.values():
+        for rid, e in self.engines.items():
             if e.has_work():
-                e.step_auto()
+                with self._ctx(rid):
+                    e.step_auto()
 
     def run(self, requests: Sequence[Request]) -> List[Completion]:
         """Submit all requests, serve the locally-owned ones to
